@@ -1,0 +1,206 @@
+"""Shape/behavior tests for the neural nets (SURVEY.md §2.1 L3)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from human_dynamics_tpu.models import (
+    ResNetV2_50,
+    TemporalEncoderFC2GN,
+    IefRegressor,
+    ief_refine,
+    Hallucinator,
+    PoseDiscriminator,
+    HmmrModel,
+)
+
+RNG = np.random.RandomState(0)
+
+
+def test_resnet_output_shape():
+    model = ResNetV2_50()
+    x = jnp.asarray(RNG.randn(2, 64, 64, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    phi = model.apply(variables, x)
+    assert phi.shape == (2, 2048)
+    assert bool(jnp.isfinite(phi).all())
+
+
+def test_resnet_param_structure():
+    model = ResNetV2_50()
+    x = jnp.zeros((1, 32, 32, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    params = variables["params"]
+    # Root conv + 4 blocks with slim-style unit names + postnorm.
+    assert "conv1" in params
+    assert "block1/unit_1/bottleneck_v2" in params
+    assert "block4/unit_3/bottleneck_v2" in params
+    assert "postnorm" in params
+    # v2 bottleneck: conv1/conv2 have no bias (BN follows), conv3 does.
+    unit = params["block1/unit_1/bottleneck_v2"]
+    assert "bias" not in unit["conv1"]
+    assert "bias" in unit["conv3"]
+    # batch stats collection exists for BN moving averages.
+    assert "batch_stats" in variables
+
+
+def test_temporal_encoder_receptive_field():
+    """fov = 4*num_layers + 1: a single-frame perturbation must not leak
+    beyond fov//2 frames (the windowed-inference contract,
+    tester.py:260-312)."""
+    enc = TemporalEncoderFC2GN(num_layers=3, num_filter=64)
+    t = 40
+    x = jnp.asarray(RNG.randn(1, t, 64).astype(np.float32))
+    variables = enc.init(jax.random.PRNGKey(0), x)
+
+    y0 = enc.apply(variables, x)
+    x2 = x.at[0, 20].add(10.0)
+    y1 = enc.apply(variables, x2)
+
+    diff = np.abs(np.asarray(y1 - y0)).max(axis=-1)[0]  # (T,)
+    margin = enc.fov // 2  # 6
+    # GroupNorm stats are global over T (true of the reference's
+    # tf.contrib group_norm too, models.py:153-161), so ~delta/T leakage
+    # everywhere is expected; the *structural* conv propagation must stay
+    # inside the fov and dominate by a wide margin.
+    inside = diff[20 - margin:20 + margin + 1].max()
+    outside = np.concatenate([diff[:20 - margin], diff[20 + margin + 1:]])
+    assert inside > 1.0
+    assert outside.max() < inside * 0.05
+
+
+def test_temporal_encoder_shape_and_residual_init():
+    enc = TemporalEncoderFC2GN(num_layers=3, num_filter=128)
+    x = jnp.asarray(RNG.randn(2, 20, 128).astype(np.float32))
+    variables = enc.init(jax.random.PRNGKey(0), x)
+    y = enc.apply(variables, x)
+    assert y.shape == (2, 20, 128)
+    # conv2 is small-init (0.001): at init the blocks are near-identity in
+    # the residual branch contribution.
+    assert float(jnp.abs(y - x).mean()) < 1.0
+
+
+def test_ief_refine_additive():
+    reg = IefRegressor(num_output=85)
+    phi = jnp.asarray(RNG.randn(4, 2048).astype(np.float32))
+    start = jnp.asarray(RNG.randn(4, 85).astype(np.float32))
+    variables = reg.init(
+        jax.random.PRNGKey(0), jnp.zeros((4, 2048 + 85))
+    )
+
+    def bound(state, train=False):
+        return reg.apply(variables, state, train=train)
+
+    out = ief_refine(bound, phi, start, num_stage=3)
+    assert out.shape == (4, 85)
+    # Small-init last layer: 3 stages of tiny deltas stay near start.
+    assert float(jnp.abs(out - start).mean()) < 1.0
+    # 0 stages = identity.
+    np.testing.assert_allclose(
+        np.asarray(ief_refine(bound, phi, start, num_stage=0)),
+        np.asarray(start),
+    )
+
+
+def test_hallucinator_residual():
+    hal = Hallucinator(features=256)
+    phi = jnp.asarray(RNG.randn(3, 7, 256).astype(np.float32))
+    variables = hal.init(jax.random.PRNGKey(0), phi)
+    out = hal.apply(variables, phi)
+    assert out.shape == phi.shape
+    # Small-init output layer: near-identity at init.
+    assert float(jnp.abs(out - phi).mean()) < 0.5
+
+
+def test_discriminator_output():
+    disc = PoseDiscriminator()
+    poses = jnp.asarray(RNG.randn(6, 23, 9).astype(np.float32))
+    variables = disc.init(jax.random.PRNGKey(0), poses)
+    out = disc.apply(variables, poses)
+    assert out.shape == (6, 24)
+    # Accepts (N, 23, 3, 3) too.
+    out2 = disc.apply(variables, poses.reshape(6, 23, 3, 3))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2))
+
+
+@pytest.fixture(scope="module")
+def hmmr_and_vars():
+    model = HmmrModel(do_hallucinate=True, do_hallucinate_preds=False)
+    phi = jnp.zeros((2, 20, 2048))
+    variables = model.init(jax.random.PRNGKey(0), phi)
+    return model, variables
+
+
+def test_hmmr_forward_shapes(hmmr_and_vars):
+    model, variables = hmmr_and_vars
+    phi = jnp.asarray(RNG.randn(2, 20, 2048).astype(np.float32))
+    out = model.apply(variables, phi)
+    assert out.omega_pred.shape == (2, 20, 85)
+    assert set(out.omegas_delta.keys()) == {-5, 5}
+    for v in out.omegas_delta.values():
+        assert v.shape == (2, 20, 85)
+    assert out.omega_hal.shape == (2, 20, 85)
+    assert out.omegas_hal_delta == {}
+    assert out.movie_strip.shape == (2, 20, 2048)
+    assert out.hal_strip.shape == (2, 20, 2048)
+
+
+def test_hmmr_delta_head_contract(hmmr_and_vars):
+    """Delta heads carry cam=[1,0,0] and the present prediction's beta
+    (models.py:367-373)."""
+    model, variables = hmmr_and_vars
+    phi = jnp.asarray(RNG.randn(2, 20, 2048).astype(np.float32))
+    out = model.apply(variables, phi)
+    for dt, om in out.omegas_delta.items():
+        cams = np.asarray(om[..., :3])
+        np.testing.assert_allclose(cams[..., 0], 1.0)
+        np.testing.assert_allclose(cams[..., 1:], 0.0)
+        np.testing.assert_allclose(
+            np.asarray(om[..., 75:]), np.asarray(out.omega_pred[..., 75:]),
+            atol=1e-6,
+        )
+
+
+def test_hmmr_mean_param_trainable(hmmr_and_vars):
+    model, variables = hmmr_and_vars
+    assert variables["params"]["mean_param"].shape == (1, 85)
+    assert float(variables["params"]["mean_param"][0, 0]) == pytest.approx(0.9)
+    assert float(variables["params"]["mean_param"][0, 3]) == pytest.approx(
+        np.pi
+    )
+
+
+def test_hmmr_ief_shared_between_branches(hmmr_and_vars):
+    """The hallucinator branch must reuse single_view_ief weights: there
+    is exactly one single_view_ief param subtree."""
+    model, variables = hmmr_and_vars
+    params = variables["params"]
+    ief_keys = [k for k in params if "single_view_ief" in k]
+    assert ief_keys == ["single_view_ief"]
+    delta_keys = sorted(k for k in params if "ief_delta" in k)
+    assert len(delta_keys) == 2
+
+
+def test_hmmr_hmr_only_mode():
+    model = HmmrModel(
+        use_hmr_only=True, do_hallucinate=False, predict_delta=False
+    )
+    phi = jnp.asarray(RNG.randn(1, 4, 2048).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), phi)
+    out = model.apply(variables, phi)
+    assert out.omega_pred.shape == (1, 4, 85)
+    assert out.omegas_delta == {}
+    assert out.omega_hal is None
+    # movie strip is phi itself in hmr-only mode.
+    np.testing.assert_allclose(
+        np.asarray(out.movie_strip), np.asarray(phi)
+    )
+
+
+def test_hmmr_rejects_images_without_resnet():
+    model = HmmrModel()
+    phi = jnp.zeros((1, 2, 2048))
+    variables = model.init(jax.random.PRNGKey(0), phi)
+    with pytest.raises(ValueError):
+        model.apply(variables, jnp.zeros((1, 2, 8, 8, 3)))
