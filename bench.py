@@ -1,0 +1,84 @@
+"""End-to-end inference benchmark: video frames -> SMPL omegas, on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Measures the full HMMR demo compute path of BASELINE config 1 on real
+shapes: 224x224x3 frames -> ResNet-50v2 phi (per unique frame) ->
+sliding-window temporal encoder + IEF heads (present plus +-5 deltas) ->
+SMPL decode (6890 verts, 25 kps) for every head, stitched over windows —
+i.e. everything demo_video.py does per frame except disk IO and NMR
+rendering.
+
+vs_baseline: the reference repo publishes no throughput number
+(SURVEY.md §6). We anchor against a documented estimate of the reference
+pipeline on its original hardware (Titan 1080 Ti, TF 1.8): ResNet-50
+inference ~210 fps at batch 160, divided by the 2.5x window-overlap
+re-encoding (tester.py:260-312) and per-window sess.run overhead
+=> ~80 fps end-to-end. The >=10x target of BASELINE.json therefore
+corresponds to vs_baseline >= 10.
+"""
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_FPS_ESTIMATE = 80.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from human_dynamics_tpu.core import synthetic_smpl_model
+    from human_dynamics_tpu.infer import HmmrPredictor
+    from human_dynamics_tpu.models import HmmrModel
+
+    n_frames = 480
+    model = HmmrModel(include_resnet=True)
+    smpl = synthetic_smpl_model(num_verts=6890, num_kps=25)
+
+    # Frames are generated on-device: the benchmark measures the
+    # video->SMPL compute path, not host IO (and this harness reaches the
+    # chip through a tunnel whose device->host readback is ~0.6 MB/s —
+    # unrepresentative of any real deployment).
+    images = jax.random.uniform(
+        jax.random.PRNGKey(1), (n_frames, 224, 224, 3),
+        minval=-1.0, maxval=1.0,
+    )
+
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 1, 224, 224, 3))
+    )
+    predictor = HmmrPredictor(
+        model, variables, smpl, batch_size=8, seq_length=20
+    )
+
+    def run():
+        preds = predictor.predict_all_images(images, as_numpy=False)
+        jax.block_until_ready(preds)
+        return preds
+
+    # Warmup (compilation).
+    preds = run()
+    assert preds["verts"].shape == (n_frames, 6890, 3)
+
+    t0 = time.time()
+    preds = run()
+    dt = time.time() - t0
+    fps = n_frames / dt
+
+    # Fetch only scalar checksums (tiny transfer).
+    assert bool(jnp.isfinite(preds["omegas"]).all())
+    assert bool(jnp.isfinite(preds["verts"]).all())
+
+    print(json.dumps({
+        "metric": "video_to_smpl_frames_per_sec_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / REFERENCE_FPS_ESTIMATE, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

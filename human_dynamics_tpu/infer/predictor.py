@@ -1,0 +1,235 @@
+"""Windowed HMMR inference engine.
+
+TPU-first replacement for Tester (/root/reference/src/evaluation/tester.py):
+
+- The per-window ``sess.run`` loop (tester.py:293-303, the reference's hot
+  host<->device boundary) becomes ONE jitted program: a ``lax.map`` over
+  window groups that gathers each window from the padded per-frame feature
+  buffer with dynamic slices, runs the temporal model + IEF heads, trims
+  to the good center frames, and evaluates SMPL for all heads in a single
+  stacked batched call.
+- The ResNet runs once per *unique* frame, not once per window: the
+  reference re-encodes every frame ~T/g = 2.5x because windows overlap
+  (tester.py:171-180). Identical outputs (phi is per-frame), 2.5x less
+  encoder compute.
+- SMPL is evaluated only for kept frames ((B, g) not (B, T)): another
+  2.5x saving with bit-identical kept outputs.
+
+Output schema matches Tester.make_fetch_dict / predict_all_images
+(tester.py:217-255,260-312): keys cams/joints/kps/poses/shapes/verts/omegas
+(N, ...) plus '*_delta' stacked (N, D, ...) over sorted delta_t values.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from human_dynamics_tpu.core.smpl import SmplModel
+from human_dynamics_tpu.infer.window import WindowSchedule
+from human_dynamics_tpu.models.hmmr import HmmrModel
+from human_dynamics_tpu.models.omega import compute_smpl, split_omega
+
+
+class HmmrPredictor:
+    """Holds (model, params, smpl) and runs windowed prediction.
+
+    Args:
+        model: HmmrModel (include_resnet toggles image input).
+        variables: flax variables for the model.
+        smpl: SmplModel used to decode omegas.
+        batch_size: windows per group (B).
+        seq_length: window length (T).
+        pred_mode: 'pred' (temporal encoder) or 'hal' (hallucinator),
+            mirroring tester.py:183-194.
+    """
+
+    def __init__(
+        self,
+        model: HmmrModel,
+        variables,
+        smpl: SmplModel,
+        batch_size: int = 8,
+        seq_length: int = 20,
+        pred_mode: str = "pred",
+    ):
+        if pred_mode not in ("pred", "hal"):
+            raise ValueError(f"Pred mode {pred_mode!r} not recognized")
+        self.model = model
+        self.variables = variables
+        self.smpl = smpl
+        self.batch_size = batch_size
+        self.seq_length = seq_length
+        self.pred_mode = pred_mode
+        self.delta_ts = tuple(sorted(model.delta_t_values))
+
+    # ------------------------------------------------------------------
+    # Feature extraction (image mode)
+    # ------------------------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _encode_chunk(self, variables, images: jax.Array) -> jax.Array:
+        return self.model.apply(
+            variables, images[None], train=False,
+            method=lambda m, im, train: m.encode_images(im, train),
+        )[0]
+
+    def encode_frames(self, images, chunk: int = 64) -> jax.Array:
+        """(N, H, W, 3) [-1,1] images -> (N, 2048) phi, fixed-size chunks.
+
+        Pads the tail chunk (cf. resnet_extractor.py:74-98's batch-64
+        zero padding) so only one program is compiled. Features stay on
+        device — nothing is fetched to host.
+        """
+        n = len(images)
+        num_chunks = int(np.ceil(n / chunk))
+        if isinstance(images, np.ndarray):
+            padded = np.zeros(
+                (num_chunks * chunk,) + images.shape[1:], np.float32
+            )
+            padded[:n] = images
+            padded = jnp.asarray(padded)
+        else:
+            padded = jnp.pad(
+                images, [(0, num_chunks * chunk - n)] + [(0, 0)] * 3
+            )
+        phis = [
+            self._encode_chunk(
+                self.variables, padded[i * chunk:(i + 1) * chunk]
+            )
+            for i in range(num_chunks)
+        ]
+        return jnp.concatenate(phis, axis=0)[:n]
+
+    # ------------------------------------------------------------------
+    # Windowed prediction
+    # ------------------------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnums=(0, 3))
+    def _predict_windows(self, variables, phi_padded: jax.Array, count: int):
+        """phi_padded (P, 2048) -> dict of (count, B, g, ...) outputs."""
+        b = self.batch_size
+        t = self.seq_length
+        margin = (self.model.fov - 1) // 2
+        g = t - 2 * margin
+
+        def one_group(group_idx):
+            # Gather B windows of T frames at starts (group*B + j) * g.
+            base = group_idx * b * g
+            windows = jnp.stack(
+                [
+                    jax.lax.dynamic_slice_in_dim(
+                        phi_padded, base + j * g, t, axis=0
+                    )
+                    for j in range(b)
+                ]
+            )  # (B, T, 2048)
+
+            out = self.model.apply(variables, windows, train=False)
+            if self.pred_mode == "hal":
+                present = out.omega_hal
+                deltas = out.omegas_hal_delta
+            else:
+                present = out.omega_pred
+                deltas = out.omegas_delta
+
+            # Keep only full-fov center frames BEFORE SMPL decode.
+            keep = lambda x: x[:, margin:margin + g]
+            present = keep(present)
+            deltas = {dt: keep(v) for dt, v in deltas.items()}
+
+            # One stacked SMPL call for all heads (present + D deltas).
+            head_list = [present] + [deltas[dt] for dt in self.delta_ts
+                                     if dt in deltas]
+            stacked = jnp.stack(head_list)            # (H, B, g, 85)
+            cams_present = split_omega(present)[0]    # (B, g, 3)
+            # Deltas are projected with the PRESENT camera
+            # (tester.py:208-213 set_cams + omega.py:282-289 test branch).
+            cams_all = jnp.broadcast_to(
+                cams_present[None], stacked.shape[:-1] + (3,)
+            )
+            sm = compute_smpl(
+                self.smpl, stacked, use_optcam=False, cams_override=cams_all
+            )
+
+            def head_dict(i, suffix=""):
+                c, p, s = split_omega(stacked[i])
+                return {
+                    "cams" + suffix: cams_all[i],
+                    "joints" + suffix: sm.joints[i],
+                    "kps" + suffix: sm.kps[i],
+                    "poses" + suffix: sm.poses_rot[i],
+                    "shapes" + suffix: s,
+                    "verts" + suffix: sm.verts[i],
+                    "omegas" + suffix: stacked[i],
+                }
+
+            result = head_dict(0)
+            if len(head_list) > 1:
+                delta_stack = {
+                    k + "_delta": []
+                    for k in ("cams", "joints", "kps", "poses", "shapes",
+                              "verts", "omegas")
+                }
+                for i in range(1, len(head_list)):
+                    hd = head_dict(i)
+                    for k in ("cams", "joints", "kps", "poses", "shapes",
+                              "verts", "omegas"):
+                        delta_stack[k + "_delta"].append(hd[k])
+                # (B, g, D, ...) per tester.py:252-254 stack axis=2.
+                for k, v in delta_stack.items():
+                    result[k] = jnp.stack(v, axis=2)
+            return result
+
+        return jax.lax.map(one_group, jnp.arange(count))
+
+    def predict_all_images(
+        self,
+        frames,
+        phi=None,
+        as_numpy: bool = True,
+    ) -> Dict[str, np.ndarray]:
+        """Predict a whole sequence with sliding windows.
+
+        Args:
+            frames: (N, 224, 224, 3) [-1, 1] images (image mode), or
+                (N, 2048) phi when the model has no resnet; numpy or
+                device arrays.
+            phi: optionally precomputed (N, 2048) features.
+            as_numpy: if True, fetch results to host numpy (the demo/pkl
+                path). If False, return device arrays — callers that only
+                need a slice (or feed a renderer on-device) avoid the
+                device->host transfer of the big vertex tensors.
+
+        Returns:
+            dict of (N, ...) arrays (see module docstring for schema).
+        """
+        if phi is None:
+            if hasattr(frames, "ndim") and frames.ndim == 2:
+                phi = frames
+            else:
+                phi = self.encode_frames(frames)
+        n = len(phi)
+
+        sched = WindowSchedule(
+            num_frames=n,
+            batch_size=self.batch_size,
+            seq_length=self.seq_length,
+            fov=self.model.fov,
+        )
+        phi = jnp.asarray(phi, jnp.float32)
+        phi_padded = jnp.pad(
+            phi,
+            [(sched.margin, sched.num_fill), (0, 0)],
+        )
+        out = self._predict_windows(self.variables, phi_padded, sched.count)
+
+        def stitch(v):
+            flat = v.reshape((-1,) + v.shape[3:])[:n]
+            return np.asarray(flat) if as_numpy else flat
+
+        return {k: stitch(v) for k, v in out.items()}

@@ -1,0 +1,423 @@
+"""HMMR training: one jitted two-optimizer GAN step + driver loop.
+
+TPU-first re-design of HMRSequenceTrainer
+(/root/reference/src/trainer_sequence_fc.py). The reference assembles a
+TF-1 graph with two AdamOptimizer minimize ops run in the same sess.run;
+here the *entire* step — all prediction heads, one stacked SMPL decode,
+every loss, both optimizers — is a single pure function jitted once and
+pjit-shardable over a data mesh axis.
+
+Two-optimizer semantics (trainer_sequence_fc.py:752-768) are reproduced
+with ONE forward + ONE backward:
+
+    total = e_loss(params_e, stop_grad(params_d))
+          + d_loss(stop_grad(fakes), params_d)
+
+so grad(total) w.r.t. params_e is exactly the encoder gradient (the
+discriminator is a frozen critic) and w.r.t. params_d exactly the
+discriminator gradient (fakes are detached) — matching the reference's
+var_list-restricted minimize calls.
+
+Note on weight decay: the reference *registers* slim L2 regularizers
+(e_wd/d_wd) but never adds REGULARIZATION_LOSSES to its objective, so
+they are inert; we faithfully default to no weight decay.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from human_dynamics_tpu.core.smpl import SmplModel
+from human_dynamics_tpu.models.discriminator import PoseDiscriminator
+from human_dynamics_tpu.models.hmmr import HmmrModel
+from human_dynamics_tpu.models.omega import (
+    OmegaGt,
+    compute_smpl,
+    split_omega,
+)
+from human_dynamics_tpu.train import losses as L
+from human_dynamics_tpu.utils.config import Config
+
+TrainConfig = Config  # alias; the single Config drives training too.
+
+
+class Batch(NamedTuple):
+    """One training minibatch (the SequenceDataLoader contract,
+    trainer_sequence_fc.py:55-63).
+
+    phis: (B, T, 2048) precomputed features (or images (B,T,H,W,3)).
+    kps: (B, T, K, 3) 2D keypoints with visibility.
+    poses_gt: (B, T, 24, 3) gt SMPL pose (axis-angle).
+    shapes_gt: (B, 10) gt SMPL shape.
+    joints_gt: (B, T, 14, 3) gt 3D joints.
+    has_3d_joints: (B,) float flags.
+    has_3d_smpl: (B,) float flags.
+    poses_real: (N_fake_pool, 24, 3, 3) mocap rotation matrices for the
+        adversarial prior (the real pool; must match the fake pool size,
+        data_loader_sequence.py:185-202).
+    """
+
+    phis: jax.Array
+    kps: jax.Array
+    poses_gt: jax.Array
+    shapes_gt: jax.Array
+    joints_gt: jax.Array
+    has_3d_joints: jax.Array
+    has_3d_smpl: jax.Array
+    poses_real: jax.Array
+
+
+class TrainState(NamedTuple):
+    params_e: Any            # HmmrModel params (+ batch_stats if resnet)
+    params_d: Any            # PoseDiscriminator params
+    opt_state_e: Any
+    opt_state_d: Any
+    step: jax.Array
+
+
+def fake_pool_size(config: Config) -> int:
+    """Fakes fed to the discriminator per step: present + each delta head
+    + hallucinator heads, each B*T poses (trainer_sequence_fc.py:833-836,
+    929-932; data_loader_sequence.py:185-202 computes the same count for
+    the real pool)."""
+    bt = config.batch_size * config.T
+    num_heads = 1
+    if config.predict_delta:
+        num_heads += len([d for d in config.delta_t_values if d != 0])
+    if config.do_hallucinate:
+        num_heads += 1
+        if config.do_hallucinate_preds:
+            num_heads += len([d for d in config.delta_t_values if d != 0])
+    return bt * num_heads
+
+
+def build_models(config: Config) -> Tuple[HmmrModel, PoseDiscriminator]:
+    hmmr = HmmrModel(
+        num_conv_layers=config.num_conv_layers,
+        delta_t_values=tuple(config.delta_t_values),
+        predict_delta=config.predict_delta,
+        do_hallucinate=config.do_hallucinate,
+        do_hallucinate_preds=config.do_hallucinate_preds,
+        use_hmr_only=config.use_hmr_only,
+        num_stage=config.num_stage,
+        use_delta_from_pred=config.use_delta_from_pred,
+        include_resnet=not config.precomputed_phi,
+        feature_dim=config.feature_dim,
+    )
+    disc = PoseDiscriminator()
+    return hmmr, disc
+
+
+def create_train_state(
+    config: Config, rng: jax.Array, sample_input: Optional[jax.Array] = None
+) -> Tuple[TrainState, HmmrModel, PoseDiscriminator]:
+    hmmr, disc = build_models(config)
+    if sample_input is None:
+        sample_input = jnp.zeros((1, config.T, config.feature_dim))
+    rng_e, rng_d = jax.random.split(rng)
+    params_e = hmmr.init(rng_e, sample_input)
+    params_d = disc.init(rng_d, jnp.zeros((2, 23, 9)))
+
+    tx_e, tx_d = make_optimizers(config)
+    state = TrainState(
+        params_e=params_e,
+        params_d=params_d,
+        opt_state_e=tx_e.init(params_e["params"]),
+        opt_state_d=tx_d.init(params_d["params"]),
+        step=jnp.zeros((), jnp.int32),
+    )
+    return state, hmmr, disc
+
+
+def make_optimizers(config: Config):
+    """Two Adams with TF-default hyperparameters
+    (trainer_sequence_fc.py:326,752-768)."""
+    tx_e = optax.adam(config.e_lr, b1=0.9, b2=0.999, eps=1e-8)
+    tx_d = optax.adam(config.d_lr, b1=0.9, b2=0.999, eps=1e-8)
+    return tx_e, tx_d
+
+
+# ---------------------------------------------------------------------------
+# Loss computation (the full HMMR objective)
+# ---------------------------------------------------------------------------
+
+
+def _delta_slices(dt: int):
+    """gt/pred time alignment for a dt head
+    (trainer_sequence_fc.py:867-884)."""
+    if dt == 0:
+        return slice(None), slice(None)
+    if dt < 0:   # past: pred[|dt|:] vs gt[:dt]
+        return slice(None, dt), slice(abs(dt), None)
+    return slice(dt, None), slice(None, -dt)  # future
+
+
+def compute_losses(
+    config: Config,
+    hmmr: HmmrModel,
+    disc: PoseDiscriminator,
+    smpl: SmplModel,
+    params_e,
+    params_d,
+    batch: Batch,
+    train: bool = True,
+    dropout_rng: Optional[jax.Array] = None,
+):
+    """Returns (e_loss, d_loss, metrics dict).
+
+    Loss wiring parity: compute_losses_batched / _deltas / _prior
+    (trainer_sequence_fc.py:791-1020) with weights from config
+    (trainer_sequence_fc.py:280-310).
+    """
+    b, t = batch.phis.shape[0], config.T
+    rngs = {"dropout": dropout_rng} if dropout_rng is not None else None
+    out = hmmr.apply(params_e, batch.phis, train=train, rngs=rngs)
+
+    gt = OmegaGt.create(
+        batch.poses_gt, batch.shapes_gt, batch.joints_gt, batch.kps
+    )
+
+    # ---- Stack every head into ONE SMPL decode. -----------------------
+    heads = [("pred", 0, out.omega_pred)]
+    for dt in sorted(out.omegas_delta):
+        heads.append(("dt", dt, out.omegas_delta[dt]))
+    if out.omega_hal is not None:
+        heads.append(("hal", 0, out.omega_hal))
+        for dt in sorted(out.omegas_hal_delta):
+            heads.append(("hal_dt", dt, out.omegas_hal_delta[dt]))
+    stacked = jnp.stack([h[2] for h in heads])          # (H, B, T, 85)
+    sm = compute_smpl(smpl, stacked, use_optcam=True, want_verts=False)
+    # use_optcam=True -> kps are joints[..., :2]; heads with their own
+    # camera (present, hal present) re-project below.
+
+    losses: Dict[str, jax.Array] = {}
+    fake_poses = []
+    fake_shapes = []
+
+    def head_3d_losses(idx, dt):
+        s_gt, s_pr = _delta_slices(dt)
+        seq_len = t - abs(dt)
+        has_smpl = jnp.repeat(batch.has_3d_smpl, seq_len)
+        has_joints = jnp.repeat(batch.has_3d_joints, seq_len)
+        lp, ls, lj = L.loss_3d(
+            poses_gt=gt.poses_rot[:, s_gt],
+            poses_pred=sm.poses_rot[idx][:, s_pr],
+            shapes_gt=gt.shapes_tiled(t)[:, s_gt],
+            shapes_pred=split_omega(stacked[idx])[2][:, s_pr],
+            joints_gt=gt.joints[:, s_gt],
+            joints_pred=sm.joints[idx][:, s_pr, :14],
+            has_gt3d_smpl=has_smpl,
+            has_gt3d_joints=has_joints,
+        )
+        return lp, ls, lj
+
+    for idx, (kind, dt, raw) in enumerate(heads):
+        cams, poses_aa, shapes = split_omega(raw)
+        fake_poses.append(sm.poses_rot[idx].reshape(-1, 24, 9))
+        fake_shapes.append(shapes.reshape(-1, 10))
+
+        s_gt, s_pr = _delta_slices(dt)
+
+        if kind in ("pred", "hal"):
+            # Own camera: project joints with the predicted cam.
+            from human_dynamics_tpu.core.projection import orth_proj_idrot
+
+            kps_pred = orth_proj_idrot(
+                sm.joints[idx].reshape(b * t, -1, 3),
+                cams.reshape(b * t, 3),
+            ).reshape(b, t, -1, 2)
+            loss_kp = L.keypoint_l1_loss(gt.kps, kps_pred)
+        else:
+            # dt heads: optimal-camera keypoint loss
+            # (trainer_sequence_fc.py:887-901).
+            loss_kp, _ = L.keypoint_l1_loss_optcam(
+                gt.kps[:, s_gt], sm.kps[idx][:, s_pr]
+            )
+
+        if config.use_3d_label:
+            lp, ls, lj = head_3d_losses(idx, dt)
+        else:
+            lp = ls = lj = jnp.zeros(())
+
+        suffix = {
+            ("pred", True): "",
+            ("hal", True): "_hal",
+        }.get((kind, dt == 0))
+        if suffix is None:
+            base = "_dt" if kind == "dt" else "_hal_dt"
+            suffix = base + ("_future" if dt > 0 else "_past")
+
+        def acc(key, val):
+            losses[key] = losses.get(key, 0.0) + val
+
+        acc("e_kp" + suffix, loss_kp)
+        acc("e_joints" + suffix, lj)
+        acc("e_smpl" + suffix, lp + ls)
+
+    # Beta smoothness on the present head (trainer_sequence_fc.py:827-830).
+    losses["e_const"] = L.beta_smoothness_loss(split_omega(out.omega_pred)[2])
+
+    # Hallucination feature-matching loss.
+    if out.hal_strip is not None:
+        losses["e_hallucinate"] = L.hallucinator_mse(
+            out.movie_strip, out.hal_strip
+        )
+
+    # ---- Adversarial prior (trainer_sequence_fc.py:989-1020). ---------
+    poses_fake = jnp.concatenate(fake_poses, axis=0)     # (F, 24, 9)
+    shapes_fake = jnp.concatenate(fake_shapes, axis=0)
+    poses_real = batch.poses_real.reshape(-1, 24, 9)
+
+    # Drop global rotation; E sees a frozen critic, D sees detached fakes.
+    fake_in = poses_fake[:, 1:]
+    real_in = poses_real[:, 1:]
+    out_fake_for_e = disc.apply(
+        jax.lax.stop_gradient(params_d), fake_in
+    )
+    disc_in = jnp.concatenate(
+        [real_in, jax.lax.stop_gradient(fake_in)], axis=0
+    )
+    disc_out = disc.apply(params_d, disc_in)
+    out_real, out_fake_for_d = jnp.split(disc_out, 2)
+
+    losses["e_pose"] = L.lsgan_encoder_loss(out_fake_for_e)
+    losses["d_pose"] = L.lsgan_disc_fake_loss(
+        out_fake_for_d
+    ) + L.lsgan_disc_real_loss(out_real)
+    losses["e_shape"] = L.shape_prior_loss(shapes_fake)
+
+    # ---- Weighted sums (gather_losses, trainer_sequence_fc.py:700-750).
+    weights = {
+        "d_pose": config.d_lw_pose,
+        "e_const": config.e_lw_const,
+        "e_pose": config.e_lw_pose,
+        "e_shape": config.e_lw_shape,
+        "e_hallucinate": config.e_lw_hallucinate,
+    }
+    for suffix in ("", "_static", "_dt_future", "_dt_past", "_hal",
+                   "_hal_dt_future", "_hal_dt_past"):
+        weights["e_kp" + suffix] = config.e_lw_kp
+        weights["e_joints" + suffix] = config.e_lw_joints
+        weights["e_smpl" + suffix] = config.e_lw_smpl
+
+    e_loss = jnp.zeros(())
+    d_loss = jnp.zeros(())
+    for key, val in losses.items():
+        w = weights[key]
+        if key.startswith("e"):
+            e_loss = e_loss + w * val
+        else:
+            d_loss = d_loss + w * val
+
+    metrics = dict(losses)
+    metrics["e_loss"] = e_loss
+    metrics["d_loss"] = d_loss
+    return e_loss, d_loss, metrics
+
+
+# ---------------------------------------------------------------------------
+# The jitted step
+# ---------------------------------------------------------------------------
+
+
+def train_step(
+    config: Config,
+    hmmr: HmmrModel,
+    disc: PoseDiscriminator,
+    smpl: SmplModel,
+    tx_e,
+    tx_d,
+    state: TrainState,
+    batch: Batch,
+    rng: jax.Array,
+) -> Tuple[TrainState, Dict[str, jax.Array]]:
+    """One simultaneous E/D update (pure; jit/pjit from the caller)."""
+
+    dropout_rng = jax.random.fold_in(rng, state.step)
+
+    def total_loss(params_e_trainable, params_d_trainable):
+        params_e = {**state.params_e, "params": params_e_trainable}
+        params_d = {**state.params_d, "params": params_d_trainable}
+        e_loss, d_loss, metrics = compute_losses(
+            config, hmmr, disc, smpl, params_e, params_d, batch,
+            train=True, dropout_rng=dropout_rng,
+        )
+        return e_loss + d_loss, metrics
+
+    grads, metrics = jax.grad(
+        total_loss, argnums=(0, 1), has_aux=True
+    )(state.params_e["params"], state.params_d["params"])
+    grads_e, grads_d = grads
+
+    updates_e, new_opt_e = tx_e.update(
+        grads_e, state.opt_state_e, state.params_e["params"]
+    )
+    new_params_e = optax.apply_updates(state.params_e["params"], updates_e)
+    updates_d, new_opt_d = tx_d.update(
+        grads_d, state.opt_state_d, state.params_d["params"]
+    )
+    new_params_d = optax.apply_updates(state.params_d["params"], updates_d)
+
+    new_state = TrainState(
+        params_e={**state.params_e, "params": new_params_e},
+        params_d={**state.params_d, "params": new_params_d},
+        opt_state_e=new_opt_e,
+        opt_state_d=new_opt_d,
+        step=state.step + 1,
+    )
+    return new_state, metrics
+
+
+class Trainer:
+    """Training driver: owns state, the jitted step, logging, checkpoints.
+
+    Replaces the Supervisor loop (trainer_sequence_fc.py:1022-1120).
+    """
+
+    def __init__(self, config: Config, smpl: SmplModel, data_iter=None):
+        self.config = config
+        self.smpl = smpl
+        self.data_iter = data_iter
+        rng = jax.random.PRNGKey(config.seed)
+        self.rng, init_rng = jax.random.split(rng)
+        self.state, self.hmmr, self.disc = create_train_state(
+            config, init_rng
+        )
+        self.tx_e, self.tx_d = make_optimizers(config)
+
+        self._jit_step = jax.jit(
+            lambda state, batch, rng: train_step(
+                config, self.hmmr, self.disc, smpl,
+                self.tx_e, self.tx_d, state, batch, rng,
+            )
+        )
+
+    def step(self, batch: Batch) -> Dict[str, float]:
+        self.rng, step_rng = jax.random.split(self.rng)
+        self.state, metrics = self._jit_step(self.state, batch, step_rng)
+        return metrics
+
+    def train(self, num_steps: int) -> Dict[str, float]:
+        assert self.data_iter is not None, "no data iterator"
+        metrics = {}
+        t0 = time.time()
+        for i in range(num_steps):
+            batch = next(self.data_iter)
+            metrics = self.step(batch)
+            if (i + 1) % self.config.log_step == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                dt = (time.time() - t0) / self.config.log_step
+                print(
+                    f"step {int(self.state.step)}: "
+                    f"e_loss={m['e_loss']:.4f} d_loss={m['d_loss']:.4f} "
+                    f"({dt*1e3:.0f} ms/step)"
+                )
+                t0 = time.time()
+        return {k: float(v) for k, v in metrics.items()}
