@@ -1,0 +1,196 @@
+"""Demo driver: video / frame dir + 2D track JSON -> per-frame Omega pkl
+(+ rendered video).
+
+Behavioral port target: demo_video.py + run_video.py
+(/root/reference/demo_video.py, /root/reference/src/evaluation/run_video.py).
+The external AlphaPose/PoseFlow trackers remain a JSON process boundary
+(SURVEY.md §2.2): this driver consumes a precomputed
+``alphapose-results-forvis-tracked.json`` (BASELINE config 1 uses one).
+
+Pipeline: track JSON -> smooth bbox -> 224 crops -> windowed TPU
+prediction (one jitted program; see infer/predictor.py) -> pkl with the
+exact demo schema (cams/joints/kps/poses/shapes/verts/omegas + _delta
+stacks, tester.py:217-255) -> optional composite render + mp4.
+
+Idempotent like the reference: existing pkl / rendered videos are reused
+(demo_video.py:160-166, run_video.py:132-134).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+from typing import List, Optional
+
+import numpy as np
+
+from human_dynamics_tpu.infer.bbox import get_smooth_bbox_params
+from human_dynamics_tpu.infer.crop import process_image
+from human_dynamics_tpu.infer.predictor import HmmrPredictor
+from human_dynamics_tpu.infer.tracks import get_labels_poseflow
+
+
+def preprocess_track(
+    frames: List[np.ndarray],
+    kps: List[Optional[np.ndarray]],
+    vis_thresh: float = 0.1,
+):
+    """Smooth-bbox + crop every frame of one tracklet
+    (demo_video.py:136-153)."""
+    bbox_params_smooth, s, e = get_smooth_bbox_params(
+        kps, vis_thresh=vis_thresh
+    )
+    min_f = max(s, 0)
+    max_f = min(e, len(kps))
+    images = []
+    proc_infos = []
+    for i in range(min_f, max_f):
+        proc = process_image(frames[i], bbox_params_smooth[i])
+        images.append(proc.pop("image"))
+        proc_infos.append(proc)
+    return np.stack(images), proc_infos, (min_f, max_f)
+
+
+def predict_on_tracks(
+    predictor: HmmrPredictor,
+    frames: List[np.ndarray],
+    poseflow_path: str,
+    output_path: str,
+    track_id: int = 0,
+    trim_length: int = 0,
+):
+    """Predict one PoseFlow tracklet and save hmmr_output.pkl
+    (demo_video.py:124-191)."""
+    all_kps = get_labels_poseflow(poseflow_path, len(frames))
+    track_id = min(track_id, len(all_kps) - 1)
+    kps = all_kps[track_id]
+
+    images, proc_infos, (min_f, max_f) = preprocess_track(frames, kps)
+
+    if track_id > 0:
+        output_path += f"_{track_id}"
+    os.makedirs(output_path, exist_ok=True)
+    pred_path = os.path.join(output_path, "hmmr_output.pkl")
+    if os.path.exists(pred_path):
+        with open(pred_path, "rb") as f:
+            preds = pickle.load(f)
+    else:
+        preds = predictor.predict_all_images(images)
+        # Frame provenance (TPU-native addition; helps eval tooling).
+        preds["frame_range"] = np.array([min_f, max_f])
+        with open(pred_path, "wb") as f:
+            pickle.dump(preds, f)
+
+    return preds, images, proc_infos, output_path
+
+
+def render_preds(
+    output_path: str,
+    preds,
+    images,
+    proc_infos,
+    faces: np.ndarray,
+    trim_length: int = 0,
+    fps: int = 25,
+):
+    """2x2 composite video: mesh-on-crop / mesh-on-orig-crop-space /
+    2D skeleton / rotated mesh (run_video.py:110-202)."""
+    import cv2
+
+    from human_dynamics_tpu.viz.composite import visualize_img
+    from human_dynamics_tpu.viz.renderer import VisRenderer
+    from human_dynamics_tpu.viz.video import make_video
+
+    out_mp4 = os.path.join(output_path, "hmmr_output.mp4")
+    if os.path.exists(out_mp4):
+        return out_mp4
+
+    renderer = VisRenderer(img_size=images.shape[1], faces=faces)
+    t = slice(trim_length, len(images) - trim_length or None)
+    frames_out = []
+    for i in range(*t.indices(len(images))):
+        skel, rend, rot = visualize_img(
+            img=images[i],
+            cam=preds["cams"][i],
+            kp_pred=preds["kps"][i],
+            vert=preds["verts"][i],
+            renderer=renderer,
+            rotated_view=True,
+            no_text=True,
+        )
+        crop = ((images[i] + 1) * 0.5)
+        top = np.hstack([crop, rend])
+        bottom = np.hstack([skel, rot])
+        frames_out.append(np.vstack([top, bottom]).astype(np.float32))
+
+    make_video(out_mp4, frames=frames_out, fps=fps)
+    return out_mp4
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--vid_path", help="input video")
+    parser.add_argument("--img_dir", help="or: directory of frames")
+    parser.add_argument("--track_json", required=True,
+                        help="PoseFlow tracked json")
+    parser.add_argument("--load_path", required=True,
+                        help="checkpoint dir (orbax) or .npz params")
+    parser.add_argument("--smpl_model_path", required=True)
+    parser.add_argument("--out_dir", default="demo_output")
+    parser.add_argument("--track_id", type=int, default=0)
+    parser.add_argument("--trim", action="store_true")
+    parser.add_argument("--no_render", action="store_true")
+    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--T", type=int, default=20)
+    args = parser.parse_args()
+
+    import cv2
+    import jax
+
+    from human_dynamics_tpu.core.smpl import load_smpl_model
+    from human_dynamics_tpu.models.hmmr import HmmrModel
+    from human_dynamics_tpu.utils.checkpoint import load_variables
+    from human_dynamics_tpu.viz.video import dump_frames
+
+    if args.vid_path:
+        img_dir = os.path.join(
+            args.out_dir, os.path.basename(args.vid_path) + "_frames"
+        )
+        paths = dump_frames(args.vid_path, img_dir)
+    else:
+        paths = sorted(
+            os.path.join(args.img_dir, f)
+            for f in os.listdir(args.img_dir)
+            if f.endswith((".png", ".jpg"))
+        )
+    frames = [
+        cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB) for p in paths
+    ]
+
+    smpl = load_smpl_model(args.smpl_model_path, joint_type="cocoplus")
+    model = HmmrModel(include_resnet=True)
+    variables = load_variables(args.load_path)
+    predictor = HmmrPredictor(
+        model, variables, smpl,
+        batch_size=args.batch_size, seq_length=args.T,
+    )
+
+    trim_length = predictor.model.fov // 2 if args.trim else 0
+    preds, images, proc_infos, out = predict_on_tracks(
+        predictor, frames, args.track_json,
+        os.path.join(args.out_dir, "hmmr_output"),
+        track_id=args.track_id, trim_length=trim_length,
+    )
+    print(f"Saved predictions for {len(images)} frames to {out}")
+
+    if not args.no_render:
+        mp4 = render_preds(
+            out, preds, images, proc_infos, smpl.faces,
+            trim_length=trim_length,
+        )
+        print(f"Rendered {mp4}")
+
+
+if __name__ == "__main__":
+    main()
