@@ -1,0 +1,244 @@
+"""Training input pipeline: tfrecord shards -> balanced device batches.
+
+Replaces the reference's TF queue-runner pipeline
+(/root/reference/src/data_loader_sequence.py) with a plain-python reader
+(our no-TF tfrecord codec) plus a background prefetch thread that
+double-buffers host->device transfers:
+
+- 2D/3D split balancing: each batch is half in-the-wild 2D data, half 3D
+  (h36m) data, shuffled (the reference enqueues [2d, 3d] pairs,
+  data_loader_sequence.py:72-143).
+- Random contiguous T-window per tube (pick_sequences,
+  data_utils.py:340-358), short tubes edge-padded like process_tensors'
+  zero-fill then clamped (data_utils.py:478-509 semantics).
+- Mocap real-pose stream sized exactly to the discriminator's fake pool
+  (data_loader_sequence.py:185-202 == train.trainer.fake_pool_size).
+- Per-host sharding hook for multi-host training: pass
+  (host_id, num_hosts) and each host reads a disjoint shard subset.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import threading
+import queue as queue_mod
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from human_dynamics_tpu.data.schema import parse_temporal_example
+from human_dynamics_tpu.data.tfrecord import decode_example, read_tfrecord
+
+THREED_DATASETS = ("h36m",)  # data_loader_sequence.py:20
+
+
+def get_all_files(
+    dataset_dir: str,
+    datasets: Sequence[str],
+    split: str = "train",
+) -> List[str]:
+    """Shard discovery ({data_dir}/{dataset}/{split}/*.tfrecord), with the
+    reference's h36m->human36m alias (data_utils.py:381-399)."""
+    datasets = list(datasets)
+    if "h36m" in datasets:
+        datasets.append("human36m")
+    files: List[str] = []
+    for dataset in datasets:
+        files += sorted(
+            glob.glob(os.path.join(dataset_dir, dataset, split,
+                                   "*.tfrecord"))
+        )
+    return files
+
+
+def pick_window(n: int, t: int, rng: np.random.RandomState) -> slice:
+    """Random contiguous T window (pick_sequences)."""
+    if n <= t:
+        return slice(0, n)
+    start = rng.randint(0, n - t + 1)
+    return slice(start, start + t)
+
+
+def _pad_to_t(arr: np.ndarray, t: int) -> np.ndarray:
+    """Zero-pad short sequences to T frames (process_tensors default-fill
+    semantics, data_utils.py:478-509)."""
+    if len(arr) >= t:
+        return arr[:t]
+    pad = np.zeros((t - len(arr),) + arr.shape[1:], arr.dtype)
+    return np.concatenate([arr, pad], axis=0)
+
+
+class ExampleStream:
+    """Infinite shuffled stream of per-tube training examples."""
+
+    def __init__(
+        self,
+        files: List[str],
+        t: int,
+        num_kps: int = 25,
+        seed: int = 0,
+        host_id: int = 0,
+        num_hosts: int = 1,
+    ):
+        if not files:
+            raise FileNotFoundError("No tfrecord shards found")
+        self.files = files[host_id::num_hosts]
+        self.t = t
+        self.num_kps = num_kps
+        self.rng = np.random.RandomState(seed + host_id)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        while True:
+            order = self.rng.permutation(len(self.files))
+            for fi in order:
+                for serialized in read_tfrecord(self.files[fi]):
+                    ex = parse_temporal_example(serialized)
+                    window = pick_window(ex.n, self.t, self.rng)
+                    yield self._make_example(ex, window)
+
+    def _make_example(self, ex, window) -> Dict[str, np.ndarray]:
+        t = self.t
+        kps = _pad_to_t(ex.kps[window], t)[:, :self.num_kps]
+        out = {
+            "kps": kps.astype(np.float32),
+            "poses": _pad_to_t(ex.poses[window], t).astype(np.float32),
+            "shape": ex.shape.astype(np.float32),
+            "gt3ds": _pad_to_t(ex.gt3ds[window], t).astype(np.float32),
+            "has_3d_joints": np.float32(ex.has_3d_joints),
+            "has_3d_smpl": np.float32(ex.has_3d),
+        }
+        if ex.phis is not None:
+            out["phis"] = _pad_to_t(ex.phis[window], t).astype(np.float32)
+        return out
+
+
+class MocapStream:
+    """Real (pose, shape) pairs for the adversarial prior
+    (read_smpl_data + get_smpl_loader)."""
+
+    def __init__(self, files: List[str], seed: int = 0):
+        if not files:
+            raise FileNotFoundError("No mocap tfrecord shards found")
+        self.files = files
+        self.rng = np.random.RandomState(seed)
+
+    @staticmethod
+    def mocap_files(dataset_dir: str, mocap_datasets: Sequence[str]):
+        """{data_dir}/mocap_neutrMosh/neutrSMPL_{ds}_*.tfrecord
+        (data_loader_sequence.py:167-174)."""
+        files: List[str] = []
+        for ds in mocap_datasets:
+            files += sorted(glob.glob(os.path.join(
+                dataset_dir, "mocap_neutrMosh",
+                f"neutrSMPL_{ds}_*.tfrecord",
+            )))
+        return files
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        while True:
+            order = self.rng.permutation(len(self.files))
+            for fi in order:
+                for serialized in read_tfrecord(self.files[fi]):
+                    feats = decode_example(serialized)
+                    pose = np.asarray(
+                        feats["pose"], np.float32
+                    ).reshape(72)
+                    shape = np.asarray(
+                        feats["shape"], np.float32
+                    ).reshape(10)
+                    yield pose, shape
+
+
+class TrainDataPipeline:
+    """Assembles split-balanced batches + mocap pool; prefetches in a
+    background thread."""
+
+    def __init__(
+        self,
+        config,
+        host_id: int = 0,
+        num_hosts: int = 1,
+        prefetch: int = 2,
+    ):
+        from human_dynamics_tpu.train.trainer import fake_pool_size
+
+        self.config = config
+        self.pool_size = fake_pool_size(config)
+
+        if config.split_balanced:
+            datasets_2d = [d for d in config.datasets
+                           if d not in THREED_DATASETS]
+            datasets_3d = [d for d in config.datasets
+                           if d in THREED_DATASETS]
+        else:
+            datasets_2d = list(config.datasets)
+            datasets_3d = datasets_2d[::-1]
+
+        files_2d = get_all_files(config.data_dir, datasets_2d)
+        files_3d = get_all_files(config.data_dir, datasets_3d)
+
+        def split_list(lst):
+            mid = len(lst) // 2
+            return lst[:mid], lst[mid:]
+
+        if not files_2d:
+            files_2d, files_3d = split_list(files_3d)
+        elif not files_3d:
+            files_2d, files_3d = split_list(files_2d)
+
+        self.stream_2d = iter(ExampleStream(
+            files_2d, config.T, config.num_kps, config.seed,
+            host_id, num_hosts,
+        ))
+        self.stream_3d = iter(ExampleStream(
+            files_3d, config.T, config.num_kps, config.seed + 1,
+            host_id, num_hosts,
+        ))
+        self.mocap = iter(MocapStream(
+            MocapStream.mocap_files(config.data_dir,
+                                    config.mocap_datasets),
+            seed=config.seed,
+        ))
+        self.rng = np.random.RandomState(config.seed + 2)
+        self._queue: queue_mod.Queue = queue_mod.Queue(maxsize=prefetch)
+        self._thread: Optional[threading.Thread] = None
+
+    def _assemble_batch(self):
+        from human_dynamics_tpu.train.trainer import Batch
+
+        b = self.config.batch_size
+        n2 = b // 2
+        examples = [next(self.stream_2d) for _ in range(n2)]
+        examples += [next(self.stream_3d) for _ in range(b - n2)]
+        self.rng.shuffle(examples)
+
+        def stack(key):
+            return np.stack([e[key] for e in examples])
+
+        poses_real = np.stack(
+            [next(self.mocap)[0] for _ in range(self.pool_size)]
+        )
+        return Batch(
+            phis=stack("phis"),
+            kps=stack("kps"),
+            poses_gt=stack("poses").reshape(b, self.config.T, 24, 3),
+            shapes_gt=stack("shape"),
+            joints_gt=stack("gt3ds"),
+            has_3d_joints=stack("has_3d_joints"),
+            has_3d_smpl=stack("has_3d_smpl"),
+            poses_real=poses_real.reshape(self.pool_size, 24, 3),
+        )
+
+    def _worker(self):
+        while True:
+            self._queue.put(self._assemble_batch())
+
+    def __iter__(self):
+        if self._thread is None:
+            self._thread = threading.Thread(
+                target=self._worker, daemon=True
+            )
+            self._thread.start()
+        while True:
+            yield self._queue.get()

@@ -1,0 +1,312 @@
+"""Evaluation harness: test tfrecords -> cached predictions -> metric table.
+
+Behavioral port target: /root/reference/src/evaluation/eval.py +
+prediction.py. Per dataset -> per tfrecord -> per person tube: read the
+test example, predict with the windowed engine (cached as pkl, keyed like
+prediction.py:22-102), compute the error dict of eval.py:114-193 (kp px
+error / PA / PCK@0.05*img, pred accel, gt-vs-pred accel error, MPJPE,
+PA-MPJPE, posed/t-pose mesh error via SMPL), then aggregate
+mean-of-means and write results JSON (eval.py:330-350,479-493).
+
+Idempotency = crash-resume (the reference's autorestart strategy,
+SURVEY.md §5): every tube's predictions and errors are cached on disk,
+so re-running skips completed work. Where the reference spins up a fresh
+TF session per mesh-error call (eval.py:68-90), the mesh decode here is
+one jitted SMPL batch.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import pickle
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from human_dynamics_tpu.data.schema import read_test_example
+from human_dynamics_tpu.data.tfrecord import read_tfrecord
+from human_dynamics_tpu.eval import metrics as M
+
+# Metric units: doc/eval.md:44-52 (accel m/s^2 per frame^2, kp in px at
+# 224, joints/mesh in meters).
+
+
+def compute_errors_batched(
+    kps_gt: np.ndarray,              # (N, K, 3) pixel coords + vis
+    kps_pred: np.ndarray,            # (N, K, 2) normalized [-1, 1]
+    joints_gt: Optional[np.ndarray] = None,    # (N, 14, 3)
+    joints_pred: Optional[np.ndarray] = None,  # (N, 14, 3)
+    poses_gt: Optional[np.ndarray] = None,     # (N, 72) axis-angle
+    poses_pred: Optional[np.ndarray] = None,   # (N, 24, 3, 3) rotmats
+    shape_gt: Optional[np.ndarray] = None,     # (10,)
+    shapes_pred: Optional[np.ndarray] = None,  # (N, 10)
+    img_size: int = 224,
+    has_3d: bool = False,
+    min_visible: int = 6,
+    compute_mesh: bool = False,
+    smpl=None,
+) -> Dict[str, object]:
+    """Per-tube error dict (eval.py:114-193), same keys."""
+    errors_kp, errors_kp_pa, errors_kp_pck = M.compute_error_kp(
+        kps_gt=kps_gt,
+        kps_pred=(kps_pred + 1) * 0.5 * img_size,
+        alpha=0.05 * img_size,
+        min_visible=min_visible,
+    )
+    errors_dict: Dict[str, object] = {
+        "accel": M.compute_accel(joints_pred),
+        "kp": errors_kp,
+        "kp_pa": errors_kp_pa,
+        "kp_pck": errors_kp_pck,
+    }
+
+    if has_3d:
+        vis = np.sum(kps_gt[:, :14, 2], axis=1) > min_visible
+        errors_accel = M.compute_error_accel(
+            joints_gt=joints_gt, joints_pred=joints_pred, vis=vis
+        )
+        if compute_mesh:
+            assert smpl is not None, "mesh error needs an SmplModel"
+            shapes_gt_tiled = np.tile(shape_gt, (len(poses_gt), 1))
+            poses_pred_aa = np.array([
+                M.rot_mat_to_axis_angle(p) for p in poses_pred
+            ])
+            mesh_gt_tpose = _smpl_verts(
+                smpl, np.zeros_like(poses_gt), shapes_gt_tiled
+            )
+            mesh_pred_tpose = _smpl_verts(
+                smpl, np.zeros_like(poses_pred_aa), shapes_pred
+            )
+            errors_mesh_tpose = M.compute_error_verts(
+                mesh_gt_tpose[vis], mesh_pred_tpose[vis]
+            )
+            mesh_gt = _smpl_verts(smpl, poses_gt, shapes_gt_tiled)
+            mesh_pred = _smpl_verts(smpl, poses_pred_aa, shapes_pred)
+            errors_mesh_posed = M.compute_error_verts(
+                mesh_gt[vis], mesh_pred[vis]
+            )
+        else:
+            errors_mesh_posed, errors_mesh_tpose = -1, -1
+
+        errors_joints, errors_joints_pa = M.compute_error_3d(
+            gt3ds=joints_gt, preds=joints_pred, vis=vis
+        )
+        errors_dict.update({
+            "accel_error": errors_accel,
+            "mesh_posed": errors_mesh_posed,
+            "mesh_tpose": errors_mesh_tpose,
+            "joints": errors_joints,
+            "joints_pa": errors_joints_pa,
+        })
+    return errors_dict
+
+
+def _smpl_verts(smpl, poses_aa: np.ndarray, shapes: np.ndarray):
+    """Batched SMPL vertex decode (replaces eval.py:68-90's per-call TF
+    session)."""
+    import jax
+    import jax.numpy as jnp
+
+    from human_dynamics_tpu.core.smpl import smpl_forward
+
+    out = jax.jit(
+        lambda b, t: smpl_forward(smpl, b, t).verts
+    )(jnp.asarray(shapes, jnp.float32),
+      jnp.asarray(poses_aa, jnp.float32).reshape(len(shapes), 72))
+    return np.asarray(out)
+
+
+class Evaluator:
+    """Runs the metric table over test tfrecords."""
+
+    def __init__(
+        self,
+        predictor,
+        output_dir: str,
+        pred_mode: str = "pred",
+        smpl=None,
+    ):
+        self.predictor = predictor
+        self.output_dir = output_dir
+        self.pred_mode = pred_mode
+        self.smpl = smpl if smpl is not None else predictor.smpl
+        os.makedirs(output_dir, exist_ok=True)
+
+    def _cache_path(self, kind, dataset, record_name, person_id):
+        d = os.path.join(self.output_dir, kind, dataset)
+        os.makedirs(d, exist_ok=True)
+        return os.path.join(
+            d, f"{record_name}_person{person_id}_{self.pred_mode}.pkl"
+        )
+
+    def predict_tube(self, dataset, record_name, person_id, data):
+        """Load-or-compute predictions for one person tube
+        (prediction.py:119-165)."""
+        cache = self._cache_path("preds", dataset, record_name, person_id)
+        if os.path.exists(cache):
+            with open(cache, "rb") as f:
+                return pickle.load(f)
+        if data.get("phis") is not None:
+            preds = self.predictor.predict_all_images(data["phis"])
+        else:
+            images = np.stack([
+                ((im / 255.0) - 0.5) * 2 for im in data["images"]
+            ]).astype(np.float32)
+            preds = self.predictor.predict_all_images(images)
+        with open(cache, "wb") as f:
+            pickle.dump(preds, f)
+        return preds
+
+    def eval_tube(
+        self, dataset, record_name, person_id, data,
+        has_3d: bool, compute_mesh: bool,
+    ):
+        """test_sequence (eval.py:196-243) with the eval pkl cache."""
+        eval_path = self._cache_path(
+            "errors", dataset, record_name, person_id
+        )
+        if os.path.exists(eval_path):
+            with open(eval_path, "rb") as f:
+                return pickle.load(f)
+
+        preds = self.predict_tube(dataset, record_name, person_id, data)
+        n = data["N"]
+        img_size = (
+            data["images"][0].shape[0] if data.get("images")
+            else self.predictor.seq_length and 224
+        )
+        errors = compute_errors_batched(
+            kps_gt=np.asarray(data["kps"], np.float64)[:n],
+            kps_pred=preds["kps"][:n],
+            joints_gt=np.asarray(data["gt3ds"], np.float64)[:n],
+            joints_pred=preds["joints"][:n, :14],
+            poses_gt=np.asarray(data["poses"]).reshape(n, 72),
+            poses_pred=preds["poses"][:n],
+            shape_gt=np.asarray(data["shape"]),
+            shapes_pred=preds["shapes"][:n],
+            img_size=img_size,
+            has_3d=has_3d,
+            compute_mesh=compute_mesh,
+            smpl=self.smpl,
+        )
+        with open(eval_path, "wb") as f:
+            pickle.dump(errors, f)
+        return errors
+
+    def eval_dataset(
+        self,
+        dataset: str,
+        tf_dir: str,
+        split: str = "test",
+        max_records: Optional[int] = None,
+    ) -> Dict[str, List]:
+        """All test records of one dataset (eval.py:391-431)."""
+        pattern = os.path.join(tf_dir, dataset, split, "*.tfrecord")
+        files = sorted(glob.glob(pattern))
+        if dataset == "h36m":
+            # h36m evaluates only the cam03 records (eval.py:403-408).
+            cam03 = [f for f in files if "camera03" in f or "cam03" in f]
+            files = cam03 if cam03 else files
+        if max_records:
+            files = files[:max_records]
+
+        # 3D supervision exists for h36m and 3dpw; mesh error only for
+        # 3dpw test (eval.py:464-470).
+        has_3d = dataset in ("h36m", "3dpw")
+        compute_mesh = dataset == "3dpw" and split == "test"
+
+        all_errors: Dict[str, List] = {}
+        for path in files:
+            record_name = os.path.splitext(os.path.basename(path))[0]
+            for person_id, serialized in enumerate(read_tfrecord(path)):
+                data = read_test_example(serialized)
+                errors = self.eval_tube(
+                    dataset, record_name, person_id, data,
+                    has_3d=has_3d, compute_mesh=compute_mesh,
+                )
+                for k, v in errors.items():
+                    if isinstance(v, (int, float)) and v == -1:
+                        continue
+                    all_errors.setdefault(k, []).append(v)
+        return all_errors
+
+    def run(
+        self,
+        tf_dir: str,
+        datasets: List[str],
+        split: str = "test",
+        max_records: Optional[int] = None,
+    ) -> Dict[str, Dict[str, float]]:
+        """Full evaluation -> {dataset: {metric: value}} + results JSON."""
+        results = {}
+        for dataset in datasets:
+            errors = self.eval_dataset(
+                dataset, tf_dir, split, max_records
+            )
+            M.mean_of_dict_values(errors)
+            results[dataset] = errors
+            print_summary(dataset, errors)
+
+        out_path = os.path.join(
+            self.output_dir,
+            f"results_{split}_{self.pred_mode}_{'-'.join(datasets)}.json",
+        )
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=4, sort_keys=True)
+        return results
+
+
+def print_summary(dataset: str, errors: Dict[str, float]) -> None:
+    """Metric table row (eval.py:330-350; column order of
+    doc/eval.md:27-31)."""
+    keys = ["accel_error", "kp", "kp_pa", "kp_pck", "joints",
+            "joints_pa", "mesh_posed", "mesh_tpose"]
+    header = " | ".join(f"{k:>11}" for k in keys)
+    row = " | ".join(
+        f"{errors[k]:>11.5f}" if k in errors else f"{-1:>11}"
+        for k in keys
+    )
+    print(f"[{dataset}]")
+    print(header)
+    print(row)
+
+
+def main():
+    import argparse
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--tf_dir", required=True)
+    parser.add_argument("--load_path", required=True)
+    parser.add_argument("--smpl_model_path", required=True)
+    parser.add_argument("--datasets", nargs="+",
+                        default=["3dpw", "h36m", "penn_action"])
+    parser.add_argument("--split", default="test")
+    parser.add_argument("--out_dir", default="eval_output")
+    parser.add_argument("--pred_mode", default="pred")
+    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--T", type=int, default=20)
+    parser.add_argument("--precomputed_phi", action="store_true")
+    args = parser.parse_args()
+
+    from human_dynamics_tpu.core.smpl import load_smpl_model
+    from human_dynamics_tpu.infer.predictor import HmmrPredictor
+    from human_dynamics_tpu.models.hmmr import HmmrModel
+    from human_dynamics_tpu.utils.checkpoint import load_variables
+
+    smpl = load_smpl_model(args.smpl_model_path)
+    model = HmmrModel(include_resnet=not args.precomputed_phi)
+    variables = load_variables(args.load_path)
+    predictor = HmmrPredictor(
+        model, variables, smpl,
+        batch_size=args.batch_size, seq_length=args.T,
+        pred_mode=args.pred_mode,
+    )
+    Evaluator(predictor, args.out_dir, args.pred_mode).run(
+        args.tf_dir, args.datasets, args.split
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -273,7 +273,14 @@ def compute_losses(
     # ---- Adversarial prior (trainer_sequence_fc.py:989-1020). ---------
     poses_fake = jnp.concatenate(fake_poses, axis=0)     # (F, 24, 9)
     shapes_fake = jnp.concatenate(fake_shapes, axis=0)
-    poses_real = batch.poses_real.reshape(-1, 24, 9)
+    if batch.poses_real.ndim == 3 and batch.poses_real.shape[-1] == 3:
+        # Axis-angle mocap stream: convert on device (the reference
+        # converts in its loader, data_loader_sequence.py:209).
+        from human_dynamics_tpu.core.rotations import rodrigues
+
+        poses_real = rodrigues(batch.poses_real).reshape(-1, 24, 9)
+    else:
+        poses_real = batch.poses_real.reshape(-1, 24, 9)
 
     # Drop global rotation; E sees a frozen critic, D sees detached fakes.
     fake_in = poses_fake[:, 1:]

@@ -24,21 +24,27 @@ import numpy as np
 # ---------------------------------------------------------------------------
 
 
+# Separator for flattened keys. NOTE: module names may contain '/'
+# (the slim-style resnet paths like 'block1/unit_1/bottleneck_v2'), so a
+# plain '/' separator would corrupt the nesting on reload.
+_SEP = "::"
+
+
 def flatten_tree(tree, prefix: Tuple[str, ...] = ()) -> Dict[str, np.ndarray]:
-    """Pytree-of-dicts -> {'a/b/c': array} flat dict."""
+    """Pytree-of-dicts -> {'a::b::c': array} flat dict."""
     out = {}
     if isinstance(tree, dict):
         for k, v in tree.items():
             out.update(flatten_tree(v, prefix + (str(k),)))
     else:
-        out["/".join(prefix)] = np.asarray(tree)
+        out[_SEP.join(prefix)] = np.asarray(tree)
     return out
 
 
 def unflatten_tree(flat: Dict[str, np.ndarray]):
     tree: Dict[str, Any] = {}
     for key, value in flat.items():
-        parts = key.split("/")
+        parts = key.split(_SEP) if _SEP in key else key.split("/")
         node = tree
         for p in parts[:-1]:
             node = node.setdefault(p, {})

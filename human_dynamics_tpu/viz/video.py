@@ -1,17 +1,25 @@
-"""Video IO: frame dump and h264 assembly via ffmpeg subprocess.
+"""Video IO: frame extraction and mp4 assembly.
 
 Behavioral targets: frame extraction (extract_tracks.py:42-60) and video
-assembly (run_video.py:205-234). ffmpeg stays a process boundary, as in
-the reference (SURVEY.md §2.2).
+assembly (run_video.py:205-234). The reference shells out to ffmpeg;
+here ffmpeg is used when present (same flags) with an OpenCV
+VideoCapture/VideoWriter fallback so the pipeline works in ffmpeg-less
+environments (like this image).
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 import subprocess
+import tempfile
 from typing import List, Optional
 
 import numpy as np
+
+
+def _has_ffmpeg() -> bool:
+    return shutil.which("ffmpeg") is not None
 
 
 def dump_frames(
@@ -20,16 +28,28 @@ def dump_frames(
     """Extract all frames of a video to pngs (extract_tracks.py:42-60).
     Idempotent: skips when the directory already has frames."""
     os.makedirs(out_dir, exist_ok=True)
-    existing = sorted(
-        f for f in os.listdir(out_dir) if f.endswith(".png")
-    )
+    existing = sorted(f for f in os.listdir(out_dir) if f.endswith(".png"))
     if existing:
         return [os.path.join(out_dir, f) for f in existing]
-    cmd = [
-        "ffmpeg", "-loglevel", "error", "-nostdin",
-        "-i", vid_path, os.path.join(out_dir, fmt),
-    ]
-    subprocess.run(cmd, check=True)
+
+    if _has_ffmpeg():
+        subprocess.run(
+            ["ffmpeg", "-loglevel", "error", "-nostdin",
+             "-i", vid_path, os.path.join(out_dir, fmt)],
+            check=True,
+        )
+    else:
+        import cv2
+
+        cap = cv2.VideoCapture(vid_path)
+        i = 0
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            i += 1
+            cv2.imwrite(os.path.join(out_dir, fmt % i), frame)
+        cap.release()
     return [
         os.path.join(out_dir, f)
         for f in sorted(os.listdir(out_dir))
@@ -44,13 +64,11 @@ def make_video(
     fps: int = 25,
     img_fmt: str = "frame%010d.png",
 ) -> None:
-    """Assemble pngs (or in-memory frames) into an h264 mp4
+    """Assemble pngs (or in-memory RGB frames) into an mp4
     (run_video.py:205-234)."""
-    import tempfile
+    import cv2
 
     if frames is not None:
-        import cv2
-
         tmp = tempfile.mkdtemp()
         for i, frame in enumerate(frames):
             f = frame
@@ -62,13 +80,31 @@ def make_video(
             )
         img_dir = tmp
 
-    cmd = [
-        "ffmpeg", "-y", "-loglevel", "error", "-nostdin",
-        "-framerate", str(fps),
-        "-i", os.path.join(img_dir, img_fmt),
-        "-vcodec", "libx264", "-pix_fmt", "yuv420p",
-        # Even dimensions required by yuv420p.
-        "-vf", "pad=ceil(iw/2)*2:ceil(ih/2)*2",
-        output_path,
-    ]
-    subprocess.run(cmd, check=True)
+    if _has_ffmpeg():
+        subprocess.run(
+            ["ffmpeg", "-y", "-loglevel", "error", "-nostdin",
+             "-framerate", str(fps),
+             "-i", os.path.join(img_dir, img_fmt),
+             "-vcodec", "libx264", "-pix_fmt", "yuv420p",
+             # Even dimensions required by yuv420p.
+             "-vf", "pad=ceil(iw/2)*2:ceil(ih/2)*2",
+             output_path],
+            check=True,
+        )
+        return
+
+    paths = sorted(
+        os.path.join(img_dir, f)
+        for f in os.listdir(img_dir)
+        if f.endswith(".png")
+    )
+    if not paths:
+        raise FileNotFoundError(f"No frames in {img_dir}")
+    first = cv2.imread(paths[0])
+    h, w = first.shape[:2]
+    writer = cv2.VideoWriter(
+        output_path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h)
+    )
+    for p in paths:
+        writer.write(cv2.imread(p))
+    writer.release()

@@ -22,7 +22,11 @@ from human_dynamics_tpu.utils.checkpoint import (
 
 
 def small_variables(include_resnet=False):
-    model = HmmrModel(include_resnet=include_resnet, feature_dim=64)
+    # feature_dim must match the resnet's 2048-D output when images flow.
+    feature_dim = 2048 if include_resnet else 64
+    model = HmmrModel(
+        include_resnet=include_resnet, feature_dim=feature_dim
+    )
     phi = jnp.zeros(
         (1, 20, 64) if not include_resnet else (1, 2, 64, 64, 3)
     )
@@ -33,9 +37,28 @@ def test_flatten_unflatten_roundtrip():
     tree = {"a": {"b": np.ones(3), "c": {"d": np.zeros((2, 2))}},
             "e": np.arange(4)}
     flat = flatten_tree(tree)
-    assert set(flat) == {"a/b", "a/c/d", "e"}
+    assert set(flat) == {"a::b", "a::c::d", "e"}
     back = unflatten_tree(flat)
     np.testing.assert_array_equal(back["a"]["c"]["d"], tree["a"]["c"]["d"])
+
+
+def test_flatten_handles_slash_in_module_names():
+    """Resnet module names contain '/' (slim-style); the flat separator
+    must not split them (regression: demo CLI weights reload)."""
+    tree = {"params": {"block1/unit_1/bottleneck_v2": {"kernel": np.ones(2)}}}
+    back = unflatten_tree(flatten_tree(tree))
+    assert "block1/unit_1/bottleneck_v2" in back["params"]
+    np.testing.assert_array_equal(
+        back["params"]["block1/unit_1/bottleneck_v2"]["kernel"], np.ones(2)
+    )
+
+
+def test_npz_roundtrip_with_resnet(tmp_path):
+    model, variables = small_variables(include_resnet=True)
+    path = str(tmp_path / "resnet.npz")
+    save_checkpoint(path, variables)
+    back = load_checkpoint(path)
+    assert "block1/unit_1/bottleneck_v2" in back["params"]["resnet_v2_50"]
 
 
 def test_npz_checkpoint_roundtrip(tmp_path):
@@ -75,7 +98,7 @@ def test_name_map_covers_hmmr_params():
     }
     flat = flatten_tree(variables["params"])
     for key in flat:
-        path = ("params",) + tuple(key.split("/"))
+        path = ("params",) + tuple(key.split("::"))
         assert path in mapped_paths, f"unmapped param {key}"
 
 

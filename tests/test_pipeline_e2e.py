@@ -1,0 +1,296 @@
+"""End-to-end pipeline tests: training loader over synthetic tfrecords,
+eval harness over synthetic test records, demo driver over synthetic
+frames + track json. These exercise the seams between data/infer/train/
+eval/viz (SURVEY.md §4 implication (4), without released assets)."""
+
+import json
+import os
+import pickle
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from human_dynamics_tpu.core import synthetic_smpl_model
+from human_dynamics_tpu.data import (
+    TFRecordWriter,
+    convert_to_example_temporal,
+    encode_example,
+)
+from human_dynamics_tpu.data.loader import (
+    ExampleStream,
+    MocapStream,
+    TrainDataPipeline,
+    get_all_files,
+)
+from human_dynamics_tpu.utils.config import Config
+
+RNG = np.random.RandomState(21)
+
+
+def write_train_shard(path, n_tubes=3, n_frames=30, with_3d=True,
+                      feature_dim=64):
+    with TFRecordWriter(path) as w:
+        for _ in range(n_tubes):
+            labels = RNG.rand(n_frames, 3, 25).astype(np.float32)
+            labels[:, 2] = 1.0
+            serialized = convert_to_example_temporal(
+                image_datas=None,
+                image_paths=[f"f{i}.png" for i in range(n_frames)],
+                image_shapes=np.full((n_frames, 2), 224),
+                labels=labels,
+                centers=RNG.randint(0, 224, (n_frames, 2)),
+                gt3ds=(RNG.randn(n_frames, 14, 3).astype(np.float32)
+                       if with_3d else None),
+                scale_factors=RNG.rand(n_frames, 2).astype(np.float32),
+                start_pts=RNG.randint(0, 50, (n_frames, 2)),
+                cams=(RNG.rand(n_frames, 3).astype(np.float32)
+                      if with_3d else None),
+                poses=(RNG.randn(n_frames, 72).astype(np.float32) * 0.2
+                       if with_3d else None),
+                shape=(RNG.randn(10).astype(np.float32) * 0.3
+                       if with_3d else None),
+                phis=RNG.randn(n_frames, feature_dim).astype(np.float32),
+            )
+            w.write(serialized)
+
+
+def write_mocap_shard(path, n=200):
+    with TFRecordWriter(path) as w:
+        for _ in range(n):
+            w.write(encode_example({
+                "pose": RNG.randn(72).astype(np.float32) * 0.2,
+                "shape": RNG.randn(10).astype(np.float32) * 0.3,
+            }))
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    for ds, with_3d in (("insta_variety", False), ("h36m", True)):
+        d = root / ds / "train"
+        d.mkdir(parents=True)
+        for i in range(2):
+            write_train_shard(str(d / f"shard_{i}.tfrecord"),
+                              with_3d=with_3d)
+    mocap = root / "mocap_neutrMosh"
+    mocap.mkdir()
+    write_mocap_shard(str(mocap / "neutrSMPL_CMU_0.tfrecord"))
+    return str(root)
+
+
+def test_get_all_files(data_dir):
+    files = get_all_files(data_dir, ["insta_variety", "h36m"])
+    assert len(files) == 4
+    assert get_all_files(data_dir, ["nope"]) == []
+
+
+def test_example_stream_windows(data_dir):
+    files = get_all_files(data_dir, ["h36m"])
+    stream = iter(ExampleStream(files, t=20, num_kps=25))
+    ex = next(stream)
+    assert ex["kps"].shape == (20, 25, 3)
+    assert ex["poses"].shape == (20, 24, 3)
+    assert ex["phis"].shape == (20, 64)
+    assert ex["has_3d_smpl"] == 1.0
+
+
+def test_mocap_stream(data_dir):
+    files = MocapStream.mocap_files(data_dir, ["CMU"])
+    assert len(files) == 1
+    pose, shape = next(iter(MocapStream(files)))
+    assert pose.shape == (72,) and shape.shape == (10,)
+
+
+def test_train_pipeline_balanced_batches(data_dir):
+    config = Config(
+        batch_size=4, T=20, feature_dim=64, num_kps=25,
+        data_dir=data_dir, datasets=("insta_variety", "h36m"),
+        mocap_datasets=("CMU",),
+    )
+    pipeline = TrainDataPipeline(config)
+    batch = pipeline._assemble_batch()
+    assert batch.phis.shape == (4, 20, 64)
+    assert batch.kps.shape == (4, 20, 25, 3)
+    # Split balance: half of examples have 3D SMPL labels.
+    assert batch.has_3d_smpl.sum() == 2.0
+    from human_dynamics_tpu.train.trainer import fake_pool_size
+
+    assert batch.poses_real.shape == (fake_pool_size(config), 24, 3)
+    # Prefetch thread path.
+    it = iter(pipeline)
+    b2 = next(it)
+    assert b2.phis.shape == (4, 20, 64)
+
+
+def test_train_step_on_real_loader_batch(data_dir):
+    """One optimization step straight off the loader."""
+    from human_dynamics_tpu.train.trainer import Batch, Trainer
+
+    config = Config(
+        batch_size=2, T=20, feature_dim=64, num_kps=25,
+        data_dir=data_dir, datasets=("insta_variety", "h36m"),
+        mocap_datasets=("CMU",),
+    )
+    pipeline = TrainDataPipeline(config)
+    batch = pipeline._assemble_batch()
+    smpl = synthetic_smpl_model(num_verts=32, num_kps=25)
+    trainer = Trainer(config, smpl)
+    metrics = trainer.step(
+        Batch(*[jnp.asarray(x) for x in batch])
+    )
+    assert np.isfinite(float(metrics["e_loss"]))
+    assert np.isfinite(float(metrics["d_loss"]))
+
+
+# ---------------------------------------------------------------------------
+# Eval harness end-to-end
+# ---------------------------------------------------------------------------
+
+def write_test_record(path, n_frames=25, with_images=True):
+    import cv2
+
+    labels = RNG.rand(n_frames, 3, 25).astype(np.float32) * 100
+    labels[:, 2] = 1.0
+    image_datas = None
+    if with_images:
+        image_datas = [
+            cv2.imencode(
+                ".jpg",
+                RNG.randint(0, 255, (224, 224, 3)).astype(np.uint8),
+            )[1].tobytes()
+            for _ in range(n_frames)
+        ]
+    serialized = convert_to_example_temporal(
+        image_datas=image_datas,
+        image_paths=[f"f{i}.png" for i in range(n_frames)],
+        image_shapes=np.full((n_frames, 2), 224),
+        labels=labels,
+        centers=RNG.randint(0, 224, (n_frames, 2)),
+        gt3ds=RNG.randn(n_frames, 14, 3).astype(np.float32) * 0.3,
+        scale_factors=RNG.rand(n_frames, 2).astype(np.float32),
+        start_pts=RNG.randint(0, 50, (n_frames, 2)),
+        cams=RNG.rand(n_frames, 3).astype(np.float32),
+        poses=RNG.randn(n_frames, 72).astype(np.float32) * 0.2,
+        shape=RNG.randn(10).astype(np.float32) * 0.3,
+        phis=RNG.randn(n_frames, 160).astype(np.float32),
+        time_pts=np.array([0, n_frames]),
+    )
+    with TFRecordWriter(path) as w:
+        w.write(serialized)
+
+
+def test_eval_harness_end_to_end(tmp_path):
+    from tests.test_infer import FakeHmmrModel
+    from human_dynamics_tpu.eval.harness import Evaluator
+    from human_dynamics_tpu.infer.predictor import HmmrPredictor
+
+    tf_dir = tmp_path / "records"
+    (tf_dir / "3dpw" / "test").mkdir(parents=True)
+    for i in range(2):
+        write_test_record(
+            str(tf_dir / "3dpw" / "test" / f"seq_{i}.tfrecord")
+        )
+
+    smpl = synthetic_smpl_model(num_verts=48, num_kps=25)
+    predictor = HmmrPredictor(
+        FakeHmmrModel(), None, smpl, batch_size=2, seq_length=20
+    )
+    out_dir = str(tmp_path / "eval_out")
+    ev = Evaluator(predictor, out_dir)
+    results = ev.run(str(tf_dir), ["3dpw"], split="test")
+
+    assert "3dpw" in results
+    r = results["3dpw"]
+    for key in ("accel", "kp", "kp_pa", "kp_pck", "accel_error",
+                "joints", "joints_pa", "mesh_posed", "mesh_tpose"):
+        assert key in r, key
+        assert np.isfinite(r[key]), key
+    # Results JSON written.
+    out_json = os.path.join(out_dir, "results_test_pred_3dpw.json")
+    assert os.path.exists(out_json)
+    with open(out_json) as f:
+        assert json.load(f)["3dpw"]["kp"] == r["kp"]
+
+    # Idempotency: caches short-circuit the second run with same values.
+    results2 = ev.run(str(tf_dir), ["3dpw"], split="test")
+    assert results2["3dpw"]["joints_pa"] == r["joints_pa"]
+    # Prediction caches exist per tube.
+    preds_dir = os.path.join(out_dir, "preds", "3dpw")
+    assert len(os.listdir(preds_dir)) == 2
+
+
+# ---------------------------------------------------------------------------
+# Demo driver end-to-end
+# ---------------------------------------------------------------------------
+
+def test_demo_predict_and_render(tmp_path):
+    from tests.test_infer import FakeHmmrModel
+    from human_dynamics_tpu.infer.demo import (
+        predict_on_tracks,
+        render_preds,
+    )
+    from human_dynamics_tpu.infer.predictor import HmmrPredictor
+
+    n_frames = 30
+    frames = [
+        RNG.randint(0, 255, (240, 320, 3)).astype(np.uint8)
+        for _ in range(n_frames)
+    ]
+    # Synthetic track json: one person walking.
+    data = {}
+    for i in range(n_frames):
+        kps = np.zeros((25, 3))
+        kps[:, 0] = 160 + i + np.linspace(-20, 20, 25)
+        kps[:, 1] = 120 + np.linspace(-60, 60, 25)
+        kps[:, 2] = 1.0
+        data[f"frame{i:04d}.png"] = [
+            {"keypoints": kps.ravel().tolist(), "idx": 0}
+        ]
+    track_json = tmp_path / "tracked.json"
+    track_json.write_text(json.dumps(data))
+
+    # Predictor with a phi-projecting fake: images are encoded by mean-
+    # pooling patches to a 160-D phi (stands in for the resnet).
+    class FakeWithEncoder(FakeHmmrModel):
+        include_resnet = True
+
+        def apply(self, variables, inputs, train=False, method=None):
+            if method is not None:  # encode_images path
+                b, t = inputs.shape[:2]
+                flat = inputs.reshape(b * t, -1)
+                phi = jnp.stack(
+                    [flat[:, i::160].mean(axis=1) for i in range(160)],
+                    axis=1,
+                )
+                return phi.reshape(b, t, 160)
+            return super().apply(variables, inputs, train)
+
+    smpl = synthetic_smpl_model(num_verts=64, num_kps=25)
+    predictor = HmmrPredictor(
+        FakeWithEncoder(), None, smpl, batch_size=2, seq_length=20
+    )
+
+    out_dir = str(tmp_path / "out")
+    preds, images, proc_infos, out = predict_on_tracks(
+        predictor, frames, str(track_json), out_dir
+    )
+    assert os.path.exists(os.path.join(out, "hmmr_output.pkl"))
+    n = len(images)
+    assert preds["omegas"].shape == (n, 85)
+    assert preds["verts"].shape == (n, 64, 3)
+    assert images.shape[1:] == (224, 224, 3)
+
+    # Idempotent reload.
+    preds2, *_ = predict_on_tracks(
+        predictor, frames, str(track_json), out_dir
+    )
+    np.testing.assert_array_equal(preds2["omegas"], preds["omegas"])
+
+    # Render the composite video (ffmpeg required in this image).
+    mp4 = render_preds(
+        out, preds, images, proc_infos, smpl.faces, fps=10
+    )
+    assert os.path.exists(mp4)
+    assert os.path.getsize(mp4) > 1000
