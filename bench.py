@@ -51,7 +51,8 @@ def main():
         jax.random.PRNGKey(0), jnp.zeros((1, 1, 224, 224, 3))
     )
     predictor = HmmrPredictor(
-        model, variables, smpl, batch_size=8, seq_length=20
+        model, variables, smpl, batch_size=8, seq_length=20,
+        use_fused_smpl=True,
     )
 
     def run():

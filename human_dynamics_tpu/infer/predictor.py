@@ -56,6 +56,7 @@ class HmmrPredictor:
         batch_size: int = 8,
         seq_length: int = 20,
         pred_mode: str = "pred",
+        use_fused_smpl: bool = False,
     ):
         if pred_mode not in ("pred", "hal"):
             raise ValueError(f"Pred mode {pred_mode!r} not recognized")
@@ -65,6 +66,7 @@ class HmmrPredictor:
         self.batch_size = batch_size
         self.seq_length = seq_length
         self.pred_mode = pred_mode
+        self.use_fused_smpl = use_fused_smpl
         self.delta_ts = tuple(sorted(model.delta_t_values))
 
     # ------------------------------------------------------------------
@@ -153,7 +155,8 @@ class HmmrPredictor:
                 cams_present[None], stacked.shape[:-1] + (3,)
             )
             sm = compute_smpl(
-                self.smpl, stacked, use_optcam=False, cams_override=cams_all
+                self.smpl, stacked, use_optcam=False,
+                cams_override=cams_all, fused=self.use_fused_smpl,
             )
 
             def head_dict(i, suffix=""):

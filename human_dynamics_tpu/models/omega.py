@@ -60,12 +60,28 @@ class OmegaSmpl(NamedTuple):
     verts: Optional[jax.Array]
 
 
+# Cache of fused-kernel constants per SmplModel instance.
+_FUSED_CONSTANTS = {}
+
+
+def _fused_constants_for(model: SmplModel):
+    key = id(model)
+    if key not in _FUSED_CONSTANTS:
+        from human_dynamics_tpu.ops.smpl_pallas import (
+            prepare_fused_constants,
+        )
+
+        _FUSED_CONSTANTS[key] = prepare_fused_constants(model)
+    return _FUSED_CONSTANTS[key]
+
+
 def compute_smpl(
     model: SmplModel,
     raw: jax.Array,
     use_optcam: bool = False,
     cams_override: Optional[jax.Array] = None,
     want_verts: bool = True,
+    fused: bool = False,
 ) -> OmegaSmpl:
     """Evaluate SMPL + projection for omegas with any leading batch shape.
 
@@ -73,6 +89,12 @@ def compute_smpl(
     with ``use_optcam`` the 2D kps are simply joints[..., :2] (the implied
     camera is [1, 0, 0]); otherwise the packed camera (or
     ``cams_override``) is applied via weak-perspective projection.
+
+    ``fused=True`` routes the (N, V)-sized math through the Pallas
+    blend+skin kernel (ops/smpl_pallas.py): ~1.35x faster and ~50x faster
+    to compile on TPU, at float32-matmul (~2e-4) tolerance vs the
+    XLA-composed path — keep False where bit-parity with the converted
+    reference checkpoint matters.
     """
     lead = raw.shape[:-1]
     n = 1
@@ -80,7 +102,16 @@ def compute_smpl(
         n *= d
     cams, poses, shapes = split_omega(raw.reshape(n, OMEGA_DIM))
 
-    out = smpl_forward(model, shapes, poses)
+    if fused:
+        from human_dynamics_tpu.ops.smpl_pallas import smpl_forward_fused
+
+        out = smpl_forward_fused(
+            model, shapes, poses,
+            constants=_fused_constants_for(model),
+            want_verts=want_verts,
+        )
+    else:
+        out = smpl_forward(model, shapes, poses)
     k = out.joints.shape[1]
 
     if use_optcam and cams_override is None:

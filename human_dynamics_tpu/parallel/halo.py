@@ -1,0 +1,184 @@
+"""Temporal sequence parallelism via halo exchange.
+
+The reference bounds long clips with a host-side sliding window + overlap
+margin (tester.py:260-312) because its temporal encoder has a finite
+receptive field (fov = 13 frames). The TPU-native equivalent (SURVEY.md
+§2.3/§5): shard time across the mesh and exchange 1-frame halos with
+``jax.lax.ppermute`` over ICI around every temporal conv, so an
+arbitrarily long clip runs as ONE jitted program with no overlap
+recompute. GroupNorm statistics are made global with a psum over the
+time axis — the sharded encoder is numerically *identical* to running
+the unsharded encoder on the whole clip (the windowed approach is only
+approximate at window borders).
+
+This file reimplements TemporalEncoderFC2GN's forward functionally over
+a shard (same flax params), plus a shard_map driver.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def _halo_pad(x_local: jax.Array, axis_name: str) -> jax.Array:
+    """Append 1-frame halos from both neighbors: (Tl, C) -> (Tl+2, C).
+
+    Boundary devices receive zeros, matching the unsharded 'SAME' conv
+    zero padding at clip edges.
+    """
+    idx = jax.lax.axis_index(axis_name)
+    n = jax.lax.axis_size(axis_name)
+
+    # Send my last frame to the right neighbor => I receive my left
+    # neighbor's last frame.
+    from_left = jax.lax.ppermute(
+        x_local[-1:], axis_name,
+        perm=[(i, (i + 1) % n) for i in range(n)],
+    )
+    from_right = jax.lax.ppermute(
+        x_local[:1], axis_name,
+        perm=[(i, (i - 1) % n) for i in range(n)],
+    )
+    from_left = jnp.where(idx == 0, 0.0, from_left)
+    from_right = jnp.where(idx == n - 1, 0.0, from_right)
+    return jnp.concatenate([from_left, x_local, from_right], axis=0)
+
+
+def _conv3_halo(
+    x_local: jax.Array, kernel: jax.Array, bias: jax.Array, axis_name: str
+) -> jax.Array:
+    """Width-3 'SAME' temporal conv across the shard boundary.
+
+    x_local (Tl, C); kernel (3, C, C) (flax nn.Conv layout); bias (C,).
+    """
+    xp = _halo_pad(x_local, axis_name)
+    return (
+        xp[:-2] @ kernel[0] + xp[1:-1] @ kernel[1] + xp[2:] @ kernel[2]
+        + bias
+    )
+
+
+def _group_norm_global(
+    x_local: jax.Array,
+    mask_local: jax.Array,
+    scale: jax.Array,
+    bias: jax.Array,
+    num_groups: int,
+    axis_name: str,
+    eps: float = 1e-6,
+) -> jax.Array:
+    """GroupNorm with statistics over the FULL (valid) time extent.
+
+    Matches nn.GroupNorm on the unsharded (1, T, C) input: stats are per
+    (group) over (T_global, channels_in_group). ``mask_local`` (Tl, 1)
+    marks real frames — padding frames are excluded from the statistics
+    AND zeroed on output, so they behave exactly like the zero 'SAME'
+    padding the unsharded conv would see at the clip edge.
+    """
+    tl, c = x_local.shape
+    cg = c // num_groups
+    xg = (x_local * mask_local).reshape(tl, num_groups, cg)
+
+    local_sum = jnp.sum(xg, axis=(0, 2))            # (G,)
+    local_sumsq = jnp.sum(xg * xg, axis=(0, 2))
+    local_count = jnp.sum(mask_local) * cg
+
+    total_sum = jax.lax.psum(local_sum, axis_name)
+    total_sumsq = jax.lax.psum(local_sumsq, axis_name)
+    total_count = jax.lax.psum(local_count, axis_name)
+
+    mean = total_sum / total_count                   # (G,)
+    var = total_sumsq / total_count - mean * mean
+    inv = jax.lax.rsqrt(var + eps)
+
+    normed = (
+        x_local.reshape(tl, num_groups, cg) - mean[None, :, None]
+    ) * inv[None, :, None]
+    out = normed.reshape(tl, c) * scale + bias
+    return out * mask_local
+
+
+def temporal_encoder_sharded(
+    params: dict,
+    phi_local: jax.Array,
+    num_layers: int,
+    axis_name: str,
+    num_groups: int = 32,
+    mask_local: Optional[jax.Array] = None,
+) -> jax.Array:
+    """TemporalEncoderFC2GN forward on a time shard (Tl, C).
+
+    params: the flax param subtree
+    variables['params']['temporal_encoder'].
+    """
+    if mask_local is None:
+        mask_local = jnp.ones((phi_local.shape[0], 1), phi_local.dtype)
+    net = phi_local * mask_local
+    for i in range(num_layers):
+        blk = params[f"block_{i}"]
+        h = _group_norm_global(
+            net, mask_local, blk["gn1"]["scale"], blk["gn1"]["bias"],
+            num_groups, axis_name,
+        )
+        h = jax.nn.relu(h)
+        h = _conv3_halo(
+            h, blk["conv1"]["kernel"], blk["conv1"]["bias"], axis_name
+        ) * mask_local
+        h = _group_norm_global(
+            h, mask_local, blk["gn2"]["scale"], blk["gn2"]["bias"],
+            num_groups, axis_name,
+        )
+        h = jax.nn.relu(h)
+        h = _conv3_halo(
+            h, blk["conv2"]["kernel"], blk["conv2"]["bias"], axis_name
+        ) * mask_local
+        net = net + h
+    return net
+
+
+def movie_strip_sharded(
+    variables,
+    phi: jax.Array,
+    mesh: Mesh,
+    num_layers: int = 3,
+    axis_name: str = "time",
+) -> jax.Array:
+    """Run the temporal encoder over a whole clip, time-sharded.
+
+    phi: (N, C) per-frame features for the full clip (will be padded to
+    a multiple of the mesh size; padding frames produce garbage outputs
+    that are trimmed before returning).
+
+    Returns the (N, C) movie strip, identical (up to fp) to applying the
+    unsharded encoder to the whole clip at once.
+    """
+    n, c = phi.shape
+    n_dev = mesh.devices.size
+    n_pad = int(np.ceil(n / n_dev)) * n_dev
+    phi_p = jnp.pad(phi, ((0, n_pad - n), (0, 0)))
+    mask = (jnp.arange(n_pad) < n).astype(phi.dtype)[:, None]
+
+    # Accept a full HmmrModel tree or a bare TemporalEncoderFC2GN tree.
+    params = variables["params"]
+    params = params.get("temporal_encoder", params)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis_name, None), P(axis_name, None)),
+        out_specs=P(axis_name, None),
+    )
+    def run(params, phi_shard, mask_shard):
+        return temporal_encoder_sharded(
+            params, phi_shard, num_layers, axis_name,
+            mask_local=mask_shard,
+        )
+
+    out = run(params, phi_p, mask)
+    return out[:n]

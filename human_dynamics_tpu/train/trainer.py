@@ -193,7 +193,10 @@ def compute_losses(
         for dt in sorted(out.omegas_hal_delta):
             heads.append(("hal_dt", dt, out.omegas_hal_delta[dt]))
     stacked = jnp.stack([h[2] for h in heads])          # (H, B, T, 85)
-    sm = compute_smpl(smpl, stacked, use_optcam=True, want_verts=False)
+    sm = compute_smpl(
+        smpl, stacked, use_optcam=True, want_verts=False,
+        fused=config.use_fused_smpl,
+    )
     # use_optcam=True -> kps are joints[..., :2]; heads with their own
     # camera (present, hal present) re-project below.
 

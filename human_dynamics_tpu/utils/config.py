@@ -93,6 +93,7 @@ class Config:
     seed: int = 1
     data_mesh_size: int = 1        # DP shards (1 = single chip)
     use_bfloat16: bool = False     # bf16 activations in the encoder
+    use_fused_smpl: bool = False   # Pallas blend+skin kernel for SMPL
     log_step: int = 100
     save_step: int = 5000
 

@@ -1,0 +1,77 @@
+"""Fused Pallas SMPL kernel vs the XLA-composed reference implementation
+(interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from human_dynamics_tpu.core import smpl_forward, synthetic_smpl_model
+from human_dynamics_tpu.ops import (
+    prepare_fused_constants,
+    smpl_forward_fused,
+)
+
+RNG = np.random.RandomState(13)
+
+
+@pytest.mark.parametrize("num_verts,block_v", [(512, 256), (700, 256)])
+def test_fused_matches_reference(num_verts, block_v):
+    """Exact-shape and padded-shape vertex counts."""
+    model = synthetic_smpl_model(num_verts=num_verts, num_kps=19)
+    consts = prepare_fused_constants(model, block_v=block_v)
+    n = 48
+    beta = jnp.asarray(RNG.randn(n, 10).astype(np.float32) * 0.3)
+    theta = jnp.asarray(RNG.randn(n, 72).astype(np.float32) * 0.3)
+
+    want = smpl_forward(model, beta, theta)
+    got = smpl_forward_fused(
+        model, beta, theta, constants=consts,
+        block_v=block_v, block_n=16, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.verts), np.asarray(want.verts), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.joints), np.asarray(want.joints), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.j_posed), np.asarray(want.j_posed), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.rots), np.asarray(want.rots), atol=1e-5
+    )
+
+
+def test_fused_handles_ragged_batch():
+    """N not a multiple of block_n is padded internally."""
+    model = synthetic_smpl_model(num_verts=256, num_kps=19)
+    n = 21
+    beta = jnp.asarray(RNG.randn(n, 10).astype(np.float32) * 0.3)
+    theta = jnp.asarray(RNG.randn(n, 72).astype(np.float32) * 0.3)
+    want = smpl_forward(model, beta, theta)
+    got = smpl_forward_fused(
+        model, beta, theta, block_v=256, block_n=16, interpret=True
+    )
+    assert got.verts.shape == (n, 256, 3)
+    np.testing.assert_allclose(
+        np.asarray(got.verts), np.asarray(want.verts), atol=2e-4
+    )
+
+
+def test_rest_joint_contraction():
+    """Precontracted beta->rest-joints table equals regressing v_shaped."""
+    model = synthetic_smpl_model(num_verts=128, num_kps=19)
+    consts = prepare_fused_constants(model, block_v=128)
+    beta = jnp.asarray(RNG.randn(4, 10).astype(np.float32) * 0.5)
+
+    v_shaped = (
+        jnp.matmul(beta, model.shapedirs).reshape(4, 128, 3)
+        + model.v_template
+    )
+    want = jnp.einsum("nvc,vj->njc", v_shaped, model.j_regressor)
+    got = (
+        jnp.matmul(beta, consts.shape_j_dirs).reshape(4, 24, 3)
+        + consts.j_template
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
