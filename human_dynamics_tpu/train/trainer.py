@@ -26,6 +26,7 @@ they are inert; we faithfully default to no weight decay.
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
@@ -388,19 +389,31 @@ def train_step(
 class Trainer:
     """Training driver: owns state, the jitted step, logging, checkpoints.
 
-    Replaces the Supervisor loop (trainer_sequence_fc.py:1022-1120).
+    Replaces the Supervisor loop (trainer_sequence_fc.py:1022-1120):
+    auto-resume from the latest checkpoint in model_dir, periodic orbax
+    checkpoints, scalar logging (TensorBoard + CSV), loss-proportion
+    reports every 500 steps, optional rendered-prediction summaries, and
+    jax.profiler trace hooks.
     """
 
-    def __init__(self, config: Config, smpl: SmplModel, data_iter=None):
+    def __init__(
+        self,
+        config: Config,
+        smpl: SmplModel,
+        data_iter=None,
+        logger=None,
+    ):
         self.config = config
         self.smpl = smpl
         self.data_iter = data_iter
+        self.logger = logger
         rng = jax.random.PRNGKey(config.seed)
         self.rng, init_rng = jax.random.split(rng)
         self.state, self.hmmr, self.disc = create_train_state(
             config, init_rng
         )
         self.tx_e, self.tx_d = make_optimizers(config)
+        self.loss_weights = self._loss_weights()
 
         self._jit_step = jax.jit(
             lambda state, batch, rng: train_step(
@@ -409,25 +422,142 @@ class Trainer:
             )
         )
 
+        if config.model_dir:
+            self.maybe_restore(config.model_dir)
+
+    def _loss_weights(self) -> Dict[str, float]:
+        c = self.config
+        weights = {
+            "d_pose": c.d_lw_pose, "e_const": c.e_lw_const,
+            "e_pose": c.e_lw_pose, "e_shape": c.e_lw_shape,
+            "e_hallucinate": c.e_lw_hallucinate,
+        }
+        for sfx in ("", "_static", "_dt_future", "_dt_past", "_hal",
+                    "_hal_dt_future", "_hal_dt_past"):
+            weights["e_kp" + sfx] = c.e_lw_kp
+            weights["e_joints" + sfx] = c.e_lw_joints
+            weights["e_smpl" + sfx] = c.e_lw_smpl
+        return weights
+
+    # ------------------------------------------------------------------
+    # Checkpointing (Supervisor auto-restore semantics).
+    # ------------------------------------------------------------------
+
+    def save(self) -> Optional[str]:
+        if not self.config.model_dir:
+            return None
+        from human_dynamics_tpu.utils.checkpoint import save_checkpoint
+
+        return save_checkpoint(
+            self.config.model_dir,
+            jax.tree_util.tree_map(np.asarray, self.state._asdict()),
+            step=int(self.state.step),
+        )
+
+    def maybe_restore(self, model_dir: str) -> bool:
+        from human_dynamics_tpu.utils.checkpoint import (
+            latest_checkpoint,
+            load_checkpoint,
+        )
+
+        ckpt = latest_checkpoint(model_dir)
+        if ckpt is None:
+            return False
+        tree = load_checkpoint(ckpt, target=self.state._asdict())
+        self.state = TrainState(
+            params_e=tree["params_e"],
+            params_d=tree["params_d"],
+            opt_state_e=tree["opt_state_e"],
+            opt_state_d=tree["opt_state_d"],
+            step=jnp.asarray(int(np.asarray(tree["step"])), jnp.int32),
+        )
+        print(f"Restored checkpoint {ckpt} (step {int(self.state.step)})")
+        return True
+
+    def load_pretrained(self, path: str) -> None:
+        """Warm start from a converted reference checkpoint
+        (use_pretrained/init_fn, trainer_sequence_fc.py:340-408)."""
+        from human_dynamics_tpu.utils.checkpoint import load_variables
+
+        loaded = load_variables(path)
+        if isinstance(loaded, tuple):
+            hmmr_vars, disc_vars = loaded
+        else:
+            hmmr_vars, disc_vars = loaded, None
+
+        def merge(dst, src):
+            out = dict(dst)
+            for k, v in src.items():
+                if isinstance(v, dict) and isinstance(out.get(k), dict):
+                    out[k] = merge(out[k], v)
+                else:
+                    out[k] = jnp.asarray(v)
+            return out
+
+        params_e = merge(self.state.params_e, hmmr_vars)
+        params_d = (
+            merge(self.state.params_d, disc_vars)
+            if disc_vars else self.state.params_d
+        )
+        self.state = self.state._replace(
+            params_e=params_e, params_d=params_d
+        )
+
+    # ------------------------------------------------------------------
+
     def step(self, batch: Batch) -> Dict[str, float]:
         self.rng, step_rng = jax.random.split(self.rng)
         self.state, metrics = self._jit_step(self.state, batch, step_rng)
         return metrics
 
-    def train(self, num_steps: int) -> Dict[str, float]:
+    def train(
+        self, num_steps: int, profile_steps: Optional[range] = None
+    ) -> Dict[str, float]:
+        from human_dynamics_tpu.utils.logging import (
+            StepTimer,
+            write_loss_proportions,
+        )
+
         assert self.data_iter is not None, "no data iterator"
         metrics = {}
-        t0 = time.time()
+        timer = StepTimer()
+        profiling = False
         for i in range(num_steps):
+            step_no = int(self.state.step)
+            if profile_steps is not None:
+                if step_no == profile_steps.start and not profiling:
+                    jax.profiler.start_trace(
+                        os.path.join(self.config.model_dir or ".",
+                                     "profile")
+                    )
+                    profiling = True
+                if profiling and step_no >= profile_steps.stop:
+                    jax.profiler.stop_trace()
+                    profiling = False
+
             batch = next(self.data_iter)
             metrics = self.step(batch)
-            if (i + 1) % self.config.log_step == 0:
+            timer.tick()
+            step_no = int(self.state.step)
+
+            if step_no % self.config.log_step == 0:
                 m = {k: float(v) for k, v in metrics.items()}
-                dt = (time.time() - t0) / self.config.log_step
+                if self.logger is not None:
+                    self.logger.log_scalars(step_no, m)
                 print(
-                    f"step {int(self.state.step)}: "
-                    f"e_loss={m['e_loss']:.4f} d_loss={m['d_loss']:.4f} "
-                    f"({dt*1e3:.0f} ms/step)"
+                    f"step {step_no}: e_loss={m['e_loss']:.4f} "
+                    f"d_loss={m['d_loss']:.4f} "
+                    f"({timer.mean_ms:.0f} ms/step)"
                 )
-                t0 = time.time()
+            if step_no % 500 == 0 and self.config.model_dir:
+                write_loss_proportions(
+                    self.config.model_dir, step_no,
+                    {k: float(v) for k, v in metrics.items()},
+                    self.loss_weights,
+                )
+            if (self.config.save_step
+                    and step_no % self.config.save_step == 0):
+                self.save()
+        if profiling:
+            jax.profiler.stop_trace()
         return {k: float(v) for k, v in metrics.items()}

@@ -98,17 +98,31 @@ def latest_checkpoint(model_dir: str) -> Optional[str]:
     return os.path.join(model_dir, max(ckpts, key=step_of))
 
 
-def load_checkpoint(path: str):
-    """Inverse of save_checkpoint (auto-detects format)."""
+def load_checkpoint(path: str, target=None):
+    """Inverse of save_checkpoint (auto-detects format).
+
+    ``target``: optional pytree template — required to restore
+    structured states (e.g. optax NamedTuple chains) with their original
+    treedef instead of raw nested lists.
+    """
     if path.endswith(".npz"):
         flat = dict(np.load(path, allow_pickle=False))
         return unflatten_tree(flat)
     if path.endswith(".pkl"):
         with open(path, "rb") as f:
             return pickle.load(f)
+    import jax
     import orbax.checkpoint as ocp
 
     with ocp.StandardCheckpointer() as ckptr:
+        if target is not None:
+            abstract = jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(
+                    np.shape(x), np.asarray(x).dtype
+                ),
+                target,
+            )
+            return ckptr.restore(os.path.abspath(path), abstract)
         return ckptr.restore(os.path.abspath(path))
 
 

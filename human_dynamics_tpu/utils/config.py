@@ -22,7 +22,7 @@ from typing import List, Optional, Tuple
 # Keys ignored when diffing a resumed config (config.py:168).
 _RESUME_IGNORE = {
     "load_path", "log_img_step", "pretrained_model_path", "model_dir",
-    "data_dir", "log_dir",
+    "data_dir", "log_dir", "log_step", "save_step",
 }
 
 
