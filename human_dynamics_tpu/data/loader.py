@@ -150,6 +150,46 @@ class MocapStream:
                     yield pose, shape
 
 
+class MocapTemporalStream:
+    """Real delta-pose windows for temporal priors
+    (get_smpl_loader_temporal, data_loader_sequence.py:221-264; records
+    written by datasets.mocap.write_mocap_temporal_records)."""
+
+    def __init__(self, files: List[str], seed: int = 0):
+        if not files:
+            raise FileNotFoundError("No temporal mocap shards found")
+        self.files = files
+        self.rng = np.random.RandomState(seed)
+
+    @staticmethod
+    def mocap_files(dataset_dir: str, mocap_datasets: Sequence[str]):
+        import glob as _glob
+
+        files: List[str] = []
+        for ds in mocap_datasets:
+            files += sorted(_glob.glob(os.path.join(
+                dataset_dir, "mocap_neutrMosh_temporal_pose",
+                f"neutrSMPL_{ds}_*.tfrecord",
+            )))
+        return files
+
+    def __iter__(self):
+        """Yields (poses (T, 72), delta_poses (T-1, 72))."""
+        while True:
+            order = self.rng.permutation(len(self.files))
+            for fi in order:
+                for serialized in read_tfrecord(self.files[fi]):
+                    feats = decode_example(serialized)
+                    t = int(np.asarray(feats["T"])[0])
+                    pose = np.asarray(
+                        feats["pose"], np.float32
+                    ).reshape(t, 72)
+                    deltas = np.asarray(
+                        feats["delta_pose"], np.float32
+                    ).reshape(t - 1, 72)
+                    yield pose, deltas
+
+
 class TrainDataPipeline:
     """Assembles split-balanced batches + mocap pool; prefetches in a
     background thread."""

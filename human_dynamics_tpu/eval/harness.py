@@ -258,6 +258,47 @@ class Evaluator:
         return results
 
 
+def test_sequence_const(
+    data,
+    preds: Dict[str, np.ndarray],
+    delta_ts=(-5, 5),
+    min_visible: int = 6,
+) -> Dict[str, list]:
+    """Hallucination dynamics test: compare +-dt predictions against the
+    constant-pose baseline (predicting the present for every dt).
+
+    Behavioral target: test_sequence_const (eval.py:246-327; the
+    reference reads config.delta_t — an undefined flag, a latent bug —
+    we take the delta values explicitly). Expects preds with '_delta'
+    stacks (sorted dt order).
+
+    Returns per-frame MPJPE lists for {dt: pred} and {dt: const}.
+    """
+    gt3ds = np.asarray(data["gt3ds"], np.float64)
+    n = data["N"]
+    joints_present = preds["joints"][:n, :14]
+    joints_delta = preds["joints_delta"][:n, :, :14]  # (N, D, 14, 3)
+
+    errors: Dict[str, list] = {}
+    for di, dt in enumerate(sorted(d for d in delta_ts if d != 0)):
+        # Prediction made at frame t for frame t+dt.
+        if dt > 0:
+            pred = joints_delta[:-dt, di]
+            const = joints_present[:-dt]
+            gt = gt3ds[dt:]
+        else:
+            pred = joints_delta[-dt:, di]
+            const = joints_present[-dt:]
+            gt = gt3ds[:dt]
+        e_pred, e_pred_pa = M.compute_error_3d(gt, pred)
+        e_const, e_const_pa = M.compute_error_3d(gt, const)
+        errors[f"joints_dt{dt}"] = e_pred
+        errors[f"joints_pa_dt{dt}"] = e_pred_pa
+        errors[f"joints_const_dt{dt}"] = e_const
+        errors[f"joints_pa_const_dt{dt}"] = e_const_pa
+    return errors
+
+
 def print_summary(dataset: str, errors: Dict[str, float]) -> None:
     """Metric table row (eval.py:330-350; column order of
     doc/eval.md:27-31)."""

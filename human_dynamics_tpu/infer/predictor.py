@@ -190,6 +190,44 @@ class HmmrPredictor:
 
         return jax.lax.map(one_group, jnp.arange(count))
 
+    @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
+    def _predict_fused(
+        self, variables, frames, n: int, count: int, image_mode: bool
+    ):
+        """ONE program: [resnet over chunks ->] pad -> windows -> stitch.
+
+        Per-call dispatch through a remote/tunneled runtime costs far
+        more than the math here; fusing the whole clip prediction into a
+        single dispatch is worth ~20x wall clock on such links (and is
+        free on local PCIe).
+        """
+        if image_mode:
+            chunk = 64
+            n_chunks = frames.shape[0] // chunk
+            phi = jax.lax.map(
+                lambda im: self.model.apply(
+                    variables, im[None], train=False,
+                    method=lambda m, x, train: m.encode_images(x, train),
+                )[0],
+                frames.reshape((n_chunks, chunk) + frames.shape[1:]),
+            ).reshape(n_chunks * chunk, -1)[:n]
+        else:
+            phi = frames
+
+        sched = WindowSchedule(
+            num_frames=n,
+            batch_size=self.batch_size,
+            seq_length=self.seq_length,
+            fov=self.model.fov,
+        )
+        phi_padded = jnp.pad(
+            phi, [(sched.margin, sched.num_fill), (0, 0)]
+        )
+        out = self._predict_windows(variables, phi_padded, count)
+        return {
+            k: v.reshape((-1,) + v.shape[3:])[:n] for k, v in out.items()
+        }
+
     def predict_all_images(
         self,
         frames,
@@ -211,12 +249,26 @@ class HmmrPredictor:
         Returns:
             dict of (N, ...) arrays (see module docstring for schema).
         """
+        image_mode = False
         if phi is None:
             if hasattr(frames, "ndim") and frames.ndim == 2:
                 phi = frames
             else:
-                phi = self.encode_frames(frames)
-        n = len(phi)
+                image_mode = getattr(self.model, "include_resnet", False)
+                if not image_mode:
+                    phi = self.encode_frames(frames)
+
+        if image_mode:
+            n = len(frames)
+            chunk = 64
+            n_chunks = int(np.ceil(n / chunk))
+            frames = jnp.asarray(frames, jnp.float32)
+            inputs = jnp.pad(
+                frames, [(0, n_chunks * chunk - n)] + [(0, 0)] * 3
+            )
+        else:
+            n = len(phi)
+            inputs = jnp.asarray(phi, jnp.float32)
 
         sched = WindowSchedule(
             num_frames=n,
@@ -224,15 +276,9 @@ class HmmrPredictor:
             seq_length=self.seq_length,
             fov=self.model.fov,
         )
-        phi = jnp.asarray(phi, jnp.float32)
-        phi_padded = jnp.pad(
-            phi,
-            [(sched.margin, sched.num_fill), (0, 0)],
+        out = self._predict_fused(
+            self.variables, inputs, n, sched.count, image_mode
         )
-        out = self._predict_windows(self.variables, phi_padded, sched.count)
-
-        def stitch(v):
-            flat = v.reshape((-1,) + v.shape[3:])[:n]
-            return np.asarray(flat) if as_numpy else flat
-
-        return {k: stitch(v) for k, v in out.items()}
+        if as_numpy:
+            out = jax.device_get(out)
+        return out
