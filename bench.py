@@ -27,6 +27,10 @@ REFERENCE_FPS_ESTIMATE = 80.0
 
 
 def main():
+    from human_dynamics_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     import jax
     import jax.numpy as jnp
 
@@ -52,7 +56,7 @@ def main():
     )
     predictor = HmmrPredictor(
         model, variables, smpl, batch_size=8, seq_length=20,
-        use_fused_smpl=True,
+        use_fused_smpl=True, bf16_encoder=True,
     )
 
     def run():

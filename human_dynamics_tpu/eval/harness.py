@@ -329,7 +329,13 @@ def main():
     parser.add_argument("--batch_size", type=int, default=8)
     parser.add_argument("--T", type=int, default=20)
     parser.add_argument("--precomputed_phi", action="store_true")
+    parser.add_argument("--fast", action="store_true",
+                        help="fused SMPL kernel + bf16 encoder")
     args = parser.parse_args()
+
+    from human_dynamics_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     from human_dynamics_tpu.core.smpl import load_smpl_model
     from human_dynamics_tpu.infer.predictor import HmmrPredictor
@@ -343,6 +349,7 @@ def main():
         model, variables, smpl,
         batch_size=args.batch_size, seq_length=args.T,
         pred_mode=args.pred_mode,
+        use_fused_smpl=args.fast, bf16_encoder=args.fast,
     )
     Evaluator(predictor, args.out_dir, args.pred_mode).run(
         args.tf_dir, args.datasets, args.split

@@ -93,12 +93,22 @@ def render_preds(
     faces: np.ndarray,
     trim_length: int = 0,
     fps: int = 25,
+    orig_frames=None,
 ):
-    """2x2 composite video: mesh-on-crop / mesh-on-orig-crop-space /
-    2D skeleton / rotated mesh (run_video.py:110-202)."""
+    """2x2 composite video: mesh-on-crop / mesh-on-original-frame /
+    2D skeleton / rotated mesh (run_video.py:110-202).
+
+    When ``orig_frames`` (list of raw RGB frames aligned with the crop
+    range) is given, the top-right panel renders the mesh back in the
+    original image space via the crop->orig camera transform
+    (nmr_renderer.py:333-419); otherwise it falls back to the crop.
+    """
     import cv2
 
-    from human_dynamics_tpu.viz.composite import visualize_img
+    from human_dynamics_tpu.viz.composite import (
+        visualize_img,
+        visualize_img_orig,
+    )
     from human_dynamics_tpu.viz.renderer import VisRenderer
     from human_dynamics_tpu.viz.video import make_video
 
@@ -106,7 +116,8 @@ def render_preds(
     if os.path.exists(out_mp4):
         return out_mp4
 
-    renderer = VisRenderer(img_size=images.shape[1], faces=faces)
+    crop_size = images.shape[1]
+    renderer = VisRenderer(img_size=crop_size, faces=faces)
     t = slice(trim_length, len(images) - trim_length or None)
     frames_out = []
     for i in range(*t.indices(len(images))):
@@ -119,8 +130,29 @@ def render_preds(
             rotated_view=True,
             no_text=True,
         )
+        if orig_frames is not None:
+            info = proc_infos[i]
+            orig = ((orig_frames[i] / 255.0) - 0.5) * 2
+            _, rend_orig = visualize_img_orig(
+                cam=preds["cams"][i],
+                kp_pred=preds["kps"][i],
+                vert=preds["verts"][i],
+                renderer=renderer,
+                start_pt=info["start_pt"],
+                scale=info["scale"],
+                proc_img_shape=info["im_shape"],
+                img=orig,
+                no_text=True,
+            )
+            rend_orig = cv2.resize(
+                (rend_orig * 255).astype(np.uint8),
+                (crop_size, crop_size),
+            ) / 255.0
+            panel_tr = rend_orig
+        else:
+            panel_tr = rend
         crop = ((images[i] + 1) * 0.5)
-        top = np.hstack([crop, rend])
+        top = np.hstack([crop, panel_tr])
         bottom = np.hstack([skel, rot])
         frames_out.append(np.vstack([top, bottom]).astype(np.float32))
 
@@ -143,10 +175,16 @@ def main():
     parser.add_argument("--no_render", action="store_true")
     parser.add_argument("--batch_size", type=int, default=8)
     parser.add_argument("--T", type=int, default=20)
+    parser.add_argument("--fast", action="store_true",
+                        help="fused SMPL kernel + bf16 encoder "
+                             "(~2e-3 relative deviation)")
     args = parser.parse_args()
 
     import cv2
-    import jax
+
+    from human_dynamics_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     from human_dynamics_tpu.core.smpl import load_smpl_model
     from human_dynamics_tpu.models.hmmr import HmmrModel
@@ -174,6 +212,7 @@ def main():
     predictor = HmmrPredictor(
         model, variables, smpl,
         batch_size=args.batch_size, seq_length=args.T,
+        use_fused_smpl=args.fast, bf16_encoder=args.fast,
     )
 
     trim_length = predictor.model.fov // 2 if args.trim else 0
@@ -185,9 +224,11 @@ def main():
     print(f"Saved predictions for {len(images)} frames to {out}")
 
     if not args.no_render:
+        fr = preds.get("frame_range")
+        orig = frames[fr[0]:fr[1]] if fr is not None else None
         mp4 = render_preds(
             out, preds, images, proc_infos, smpl.faces,
-            trim_length=trim_length,
+            trim_length=trim_length, orig_frames=orig,
         )
         print(f"Rendered {mp4}")
 

@@ -57,6 +57,7 @@ class HmmrPredictor:
         seq_length: int = 20,
         pred_mode: str = "pred",
         use_fused_smpl: bool = False,
+        bf16_encoder: bool = False,
     ):
         if pred_mode not in ("pred", "hal"):
             raise ValueError(f"Pred mode {pred_mode!r} not recognized")
@@ -67,6 +68,9 @@ class HmmrPredictor:
         self.seq_length = seq_length
         self.pred_mode = pred_mode
         self.use_fused_smpl = use_fused_smpl
+        # bf16 ResNet inference: ~2x encoder throughput at ~2e-3 relative
+        # phi deviation; keep False where checkpoint bit-parity matters.
+        self.bf16_encoder = bf16_encoder
         self.delta_ts = tuple(sorted(model.delta_t_values))
 
     # ------------------------------------------------------------------
@@ -204,13 +208,21 @@ class HmmrPredictor:
         if image_mode:
             chunk = 64
             n_chunks = frames.shape[0] // chunk
+            enc_vars = variables
+            if self.bf16_encoder:
+                enc_vars = jax.tree_util.tree_map(
+                    lambda x: x.astype(jnp.bfloat16)
+                    if x.dtype == jnp.float32 else x,
+                    variables,
+                )
+                frames = frames.astype(jnp.bfloat16)
             phi = jax.lax.map(
                 lambda im: self.model.apply(
-                    variables, im[None], train=False,
+                    enc_vars, im[None], train=False,
                     method=lambda m, x, train: m.encode_images(x, train),
                 )[0],
                 frames.reshape((n_chunks, chunk) + frames.shape[1:]),
-            ).reshape(n_chunks * chunk, -1)[:n]
+            ).reshape(n_chunks * chunk, -1)[:n].astype(jnp.float32)
         else:
             phi = frames
 

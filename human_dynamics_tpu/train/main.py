@@ -60,6 +60,9 @@ def config_from_args(args) -> "Config":
 
 
 def main(argv=None):
+    from human_dynamics_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     args = build_arg_parser().parse_args(argv)
     config = config_from_args(args)
 

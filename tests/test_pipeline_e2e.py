@@ -288,9 +288,11 @@ def test_demo_predict_and_render(tmp_path):
     )
     np.testing.assert_array_equal(preds2["omegas"], preds["omegas"])
 
-    # Render the composite video (ffmpeg required in this image).
+    # Render the composite video incl. the original-image-space panel.
+    fr = preds.get("frame_range", np.array([0, n]))
     mp4 = render_preds(
-        out, preds, images, proc_infos, smpl.faces, fps=10
+        out, preds, images, proc_infos, smpl.faces, fps=10,
+        orig_frames=frames[fr[0]:fr[1]],
     )
     assert os.path.exists(mp4)
     assert os.path.getsize(mp4) > 1000
