@@ -46,8 +46,14 @@ def main():
     # video->SMPL compute path, not host IO (and this harness reaches the
     # chip through a tunnel whose device->host readback is ~0.6 MB/s —
     # unrepresentative of any real deployment).
+    # Distinct tensors for warmup vs timed run: the tunneled runtime has
+    # shown dispatch-level caching artifacts on repeated identical calls.
     images = jax.random.uniform(
         jax.random.PRNGKey(1), (n_frames, 224, 224, 3),
+        minval=-1.0, maxval=1.0,
+    )
+    images_timed = jax.random.uniform(
+        jax.random.PRNGKey(2), (n_frames, 224, 224, 3),
         minval=-1.0, maxval=1.0,
     )
 
@@ -59,17 +65,17 @@ def main():
         use_fused_smpl=True, bf16_encoder=True,
     )
 
-    def run():
-        preds = predictor.predict_all_images(images, as_numpy=False)
+    def run(ims):
+        preds = predictor.predict_all_images(ims, as_numpy=False)
         jax.block_until_ready(preds)
         return preds
 
     # Warmup (compilation).
-    preds = run()
+    preds = run(images)
     assert preds["verts"].shape == (n_frames, 6890, 3)
 
     t0 = time.time()
-    preds = run()
+    preds = run(images_timed)
     dt = time.time() - t0
     fps = n_frames / dt
 

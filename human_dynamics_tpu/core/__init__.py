@@ -3,6 +3,7 @@ from human_dynamics_tpu.core.rotations import (
     rodrigues,
     rot_to_axis_angle,
     rotation_deltas,
+    lrotmin,
 )
 from human_dynamics_tpu.core.smpl import (
     SmplModel,

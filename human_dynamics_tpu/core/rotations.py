@@ -98,6 +98,25 @@ def rot_to_axis_angle(rot: jax.Array) -> jax.Array:
     return theta[..., None] * axis
 
 
+def lrotmin(theta: jax.Array) -> jax.Array:
+    """72-D pose -> 207-D pose-blendshape feature (R[1:] - I, flattened).
+
+    Args:
+        theta: (..., 72) axis-angle incl. the global rotation (dropped).
+
+    Returns:
+        (..., 207).
+
+    Reference: batch_lrotmin (/root/reference/src/tf_smpl/batch_lbs.py:
+    108-130; the reference notes it inlines this in SMPL.__call__ to
+    reuse R — smpl_forward here does the same, this standalone exists
+    for parity of the public surface).
+    """
+    lead = theta.shape[:-1]
+    rots = rodrigues(theta[..., 3:].reshape(lead + (23, 3)))
+    return (rots - jnp.eye(3, dtype=theta.dtype)).reshape(lead + (207,))
+
+
 def rotation_deltas(rot_prev: jax.Array, rot_curr: jax.Array) -> jax.Array:
     """Frame-to-frame rotation change R_prev @ R_curr^T.
 

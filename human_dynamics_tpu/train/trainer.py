@@ -504,6 +504,64 @@ class Trainer:
         )
 
     # ------------------------------------------------------------------
+    # Rendered prediction summaries (visualize/visualize_strip,
+    # trainer_sequence_fc.py:1134-1282). Without decoded images in the
+    # precomputed-phi records, meshes+skeletons render on white.
+    # ------------------------------------------------------------------
+
+    def render_summary(self, batch: Batch, max_frames: int = None):
+        """Render current predictions for the first batch element into a
+        horizontal strip image (H, W*k, 3) uint8."""
+        from human_dynamics_tpu.viz.renderer import VisRenderer
+        from human_dynamics_tpu.viz.skeleton import (
+            draw_skeleton,
+            normalized_kp_to_image,
+        )
+
+        max_frames = max_frames or self.config.log_img_count
+        out = self.hmmr.apply(
+            self.state.params_e, batch.phis[:1], train=False
+        )
+        sm = compute_smpl(
+            self.smpl, out.omega_pred[:1], use_optcam=False,
+            fused=self.config.use_fused_smpl,
+        )
+        t = out.omega_pred.shape[1]
+        mid = t // 2
+        idx = range(
+            max(0, mid - max_frames // 2),
+            min(t, mid + (max_frames + 1) // 2),
+        )
+
+        faces = self.smpl.faces
+        img_size = self.config.img_size
+        renderer = (
+            VisRenderer(img_size=img_size, faces=faces)
+            if faces is not None else None
+        )
+        panels = []
+        verts = np.asarray(sm.verts[0])
+        kps = np.asarray(sm.kps[0])
+        cams = np.asarray(out.omega_pred[0, :, :3])
+        gt_kps = np.asarray(batch.kps[0])
+        for ti in idx:
+            if renderer is not None:
+                panel = renderer(verts[ti], cam=cams[ti])
+            else:
+                panel = np.full((img_size, img_size, 3), 255, np.uint8)
+            panel = draw_skeleton(
+                panel, normalized_kp_to_image(kps[ti], img_size)
+            )
+            panel = draw_skeleton(
+                panel,
+                normalized_kp_to_image(gt_kps[ti, :, :2], img_size),
+                draw_edges=False,
+                vis=gt_kps[ti, :, 2] > 0,
+            )
+            panels.append(panel)
+        return np.concatenate(panels, axis=1)
+
+    # ------------------------------------------------------------------
 
     def step(self, batch: Batch) -> Dict[str, float]:
         self.rng, step_rng = jax.random.split(self.rng)
@@ -549,6 +607,13 @@ class Trainer:
                     f"d_loss={m['d_loss']:.4f} "
                     f"({timer.mean_ms:.0f} ms/step)"
                 )
+            if (self.logger is not None and self.config.log_img_step
+                    and step_no % self.config.log_img_step == 0):
+                try:
+                    strip = self.render_summary(batch)
+                    self.logger.log_image(step_no, "pred/strip", strip)
+                except Exception as exc:  # vis must never kill training
+                    print(f"render_summary failed: {exc}")
             if step_no % 500 == 0 and self.config.model_dir:
                 write_loss_proportions(
                     self.config.model_dir, step_no,

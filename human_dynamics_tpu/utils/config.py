@@ -94,6 +94,8 @@ class Config:
     data_mesh_size: int = 1        # DP shards (1 = single chip)
     use_bfloat16: bool = False     # bf16 activations in the encoder
     use_fused_smpl: bool = False   # Pallas blend+skin kernel for SMPL
+    log_img_step: int = 5000       # rendered-prediction summary period
+    log_img_count: int = 10        # frames per rendered summary strip
     log_step: int = 100
     save_step: int = 5000
 

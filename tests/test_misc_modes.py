@@ -165,3 +165,32 @@ def test_predictor_bf16_encoder_close_to_fp32():
     )
     assert rel < 0.05
     assert o32["omegas"].shape == obf["omegas"].shape
+
+
+def test_lrotmin():
+    from human_dynamics_tpu.core import lrotmin, rodrigues
+
+    theta = RNG.randn(72).astype(np.float32) * 0.4
+    out = np.asarray(lrotmin(jnp.asarray(theta)))
+    assert out.shape == (207,)
+    rots = np.asarray(rodrigues(jnp.asarray(theta[3:].reshape(23, 3))))
+    want = (rots - np.eye(3)).reshape(207)
+    np.testing.assert_allclose(out, want, atol=1e-6)
+    # Zero pose -> zero feature.
+    np.testing.assert_allclose(
+        np.asarray(lrotmin(jnp.zeros(72))), 0.0, atol=1e-6
+    )
+
+
+def test_trainer_render_summary():
+    from tests.test_train import make_batch, tiny_config
+    from human_dynamics_tpu.train.trainer import Trainer
+
+    config = tiny_config(log_img_count=4)
+    smpl = synthetic_smpl_model(num_verts=48, num_kps=config.num_kps)
+    trainer = Trainer(config, smpl)
+    batch = make_batch(config, smpl)
+    strip = trainer.render_summary(batch)
+    assert strip.shape == (224, 224 * 4, 3)
+    assert strip.dtype == np.uint8
+    assert strip.min() < 255  # something was drawn
