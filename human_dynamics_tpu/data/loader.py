@@ -28,7 +28,11 @@ from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 import numpy as np
 
 from human_dynamics_tpu.data.schema import parse_temporal_example
-from human_dynamics_tpu.data.tfrecord import decode_example, read_tfrecord
+from human_dynamics_tpu.data.tfrecord import decode_example
+# Native C++ framing (falls back to the pure-Python reader internally).
+from human_dynamics_tpu.data.tfrecord_native import (
+    read_tfrecord_native as read_tfrecord,
+)
 
 THREED_DATASETS = ("h36m",)  # data_loader_sequence.py:20
 

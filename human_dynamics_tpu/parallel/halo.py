@@ -142,6 +142,94 @@ def temporal_encoder_sharded(
     return net
 
 
+def predict_clip_sharded(
+    model,
+    variables,
+    smpl,
+    phi: jax.Array,
+    mesh: Mesh,
+    axis_name: str = "time",
+    want_verts: bool = True,
+):
+    """Whole-clip HMMR inference, time-sharded over the mesh.
+
+    The complete pipeline — halo-exchange temporal encoder, present +
+    ±dt IEF heads, SMPL decode — runs as ONE program with the clip's
+    frames sharded across devices. Unlike the windowed predictor (which
+    mirrors the reference's approximate overlap-stitching,
+    tester.py:260-312), this is numerically the *full-clip* forward: the
+    GroupNorm statistics span the entire clip via psum and conv halos
+    cross shard boundaries exactly.
+
+    Args:
+        model: HmmrModel (precomputed-phi mode).
+        variables: its flax variables.
+        smpl: SmplModel for the decode.
+        phi: (N, C) per-frame features for the whole clip.
+        mesh: 1-D device mesh.
+
+    Returns:
+        dict with omegas (N, 85), joints (N, K, 3), kps (N, K, 2),
+        poses (N, 24, 3, 3), verts (N, V, 3) [if want_verts], and
+        omegas_delta {dt: (N, 85)}.
+    """
+    from human_dynamics_tpu.models.omega import compute_smpl, split_omega
+
+    n, c = phi.shape
+    n_dev = mesh.devices.size
+    n_pad = int(np.ceil(n / n_dev)) * n_dev
+    phi_p = jnp.pad(phi, ((0, n_pad - n), (0, 0)))
+    mask = (jnp.arange(n_pad) < n).astype(phi.dtype)[:, None]
+
+    enc_params = variables["params"]["temporal_encoder"]
+    num_layers = model.num_conv_layers
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis_name, None), P(axis_name, None)),
+        out_specs=P(axis_name),
+    )
+    def run(variables, enc_params, phi_shard, mask_shard):
+        strip = temporal_encoder_sharded(
+            enc_params, phi_shard, num_layers, axis_name,
+            mask_local=mask_shard,
+        )
+        # Per-frame IEF heads on the local shard (weights replicated).
+        present, deltas = model.apply(
+            variables, strip[None], False, model.predict_delta,
+            method=lambda m, f, train, wd: m._pred_heads(f, train, wd),
+        )
+        present = present[0]                       # (Tl, 85)
+        deltas = {dt: v[0] for dt, v in deltas.items()}
+
+        heads = [present] + [deltas[dt] for dt in sorted(deltas)]
+        stacked = jnp.stack(heads)                 # (H, Tl, 85)
+        cams = split_omega(present)[0]
+        cams_all = jnp.broadcast_to(
+            cams[None], stacked.shape[:-1] + (3,)
+        )
+        sm = compute_smpl(
+            smpl, stacked, use_optcam=False, cams_override=cams_all,
+            want_verts=want_verts,
+        )
+        out = {
+            "omegas": present,
+            "joints": sm.joints[0],
+            "kps": sm.kps[0],
+            "poses": sm.poses_rot[0],
+        }
+        if want_verts:
+            out["verts"] = sm.verts[0]
+        for i, dt in enumerate(sorted(deltas)):
+            out[f"omegas_delta_{dt}"] = stacked[i + 1]
+            out[f"joints_delta_{dt}"] = sm.joints[i + 1]
+        return out
+
+    out = run(variables, enc_params, phi_p, mask)
+    return {k: v[:n] for k, v in out.items()}
+
+
 def movie_strip_sharded(
     variables,
     phi: jax.Array,

@@ -1,0 +1,79 @@
+"""Fully-sharded whole-clip inference vs the unsharded full-clip forward."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from human_dynamics_tpu.core import synthetic_smpl_model
+from human_dynamics_tpu.models.hmmr import HmmrModel
+from human_dynamics_tpu.models.omega import compute_smpl, split_omega
+from human_dynamics_tpu.parallel import make_mesh
+from human_dynamics_tpu.parallel.halo import predict_clip_sharded
+
+RNG = np.random.RandomState(23)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = HmmrModel(feature_dim=64, do_hallucinate=False)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 20, 64)))
+    smpl = synthetic_smpl_model(num_verts=48, num_kps=25)
+    return model, variables, smpl
+
+
+def unsharded_reference(model, variables, smpl, phi):
+    out = model.apply(variables, phi[None], train=False)
+    present = out.omega_pred[0]
+    deltas = {dt: v[0] for dt, v in out.omegas_delta.items()}
+    heads = [present] + [deltas[dt] for dt in sorted(deltas)]
+    stacked = jnp.stack(heads)
+    cams = split_omega(present)[0]
+    cams_all = jnp.broadcast_to(cams[None], stacked.shape[:-1] + (3,))
+    sm = compute_smpl(
+        smpl, stacked, use_optcam=False, cams_override=cams_all
+    )
+    return {
+        "omegas": present,
+        "joints": sm.joints[0],
+        "kps": sm.kps[0],
+        "poses": sm.poses_rot[0],
+        "verts": sm.verts[0],
+        "omegas_delta_-5": stacked[1],
+        "joints_delta_-5": sm.joints[1],
+        "omegas_delta_5": stacked[2],
+        "joints_delta_5": sm.joints[2],
+    }
+
+
+@pytest.mark.parametrize("n", [64, 91])
+def test_sharded_clip_matches_full_forward(setup, n):
+    model, variables, smpl = setup
+    phi = jnp.asarray(RNG.randn(n, 64).astype(np.float32))
+    mesh = make_mesh(8, axis_name="time")
+
+    got = predict_clip_sharded(model, variables, smpl, phi, mesh)
+    want = unsharded_reference(model, variables, smpl, phi)
+
+    assert set(got) == set(want)
+    for k in sorted(want):
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(want[k]), atol=3e-4,
+            err_msg=k,
+        )
+    assert got["omegas"].shape == (n, 85)
+    assert got["verts"].shape == (n, 48, 3)
+
+
+def test_sharded_clip_long(setup):
+    """A 1000-frame clip runs as one program over the mesh."""
+    model, variables, smpl = setup
+    n = 1000
+    phi = jnp.asarray(RNG.randn(n, 64).astype(np.float32))
+    mesh = make_mesh(8, axis_name="time")
+    got = predict_clip_sharded(
+        model, variables, smpl, phi, mesh, want_verts=False
+    )
+    assert got["joints"].shape == (n, 25, 3)
+    assert "verts" not in got
+    assert bool(jnp.isfinite(got["omegas"]).all())
