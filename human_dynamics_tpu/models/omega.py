@@ -71,7 +71,11 @@ def _fused_constants_for(model: SmplModel):
             prepare_fused_constants,
         )
 
-        _FUSED_CONSTANTS[key] = prepare_fused_constants(model)
+        # Must be concrete even when first requested inside a jit trace
+        # (omnistaging would otherwise cache tracers that leak into later
+        # traces).
+        with jax.ensure_compile_time_eval():
+            _FUSED_CONSTANTS[key] = prepare_fused_constants(model)
     return _FUSED_CONSTANTS[key]
 
 

@@ -213,7 +213,10 @@ def smpl_forward_fused(
     """Drop-in replacement for core.smpl.smpl_forward using the fused
     kernel for the (N, V)-sized work."""
     if constants is None:
-        constants = prepare_fused_constants(model, block_v)
+        with jax.ensure_compile_time_eval():
+            constants = prepare_fused_constants(model, block_v)
+    # Mosaic only compiles for TPU; interpret elsewhere (CPU tests).
+    interpret = interpret or jax.default_backend() != "tpu"
     n = beta.shape[0]
     dtype = jnp.float32
 

@@ -75,3 +75,29 @@ def test_rest_joint_contraction():
         + consts.j_template
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_fused_constants_cache_across_traces():
+    """Regression: the fused-constants cache must hold concrete arrays
+    even when first populated inside a jit trace (two predictors with
+    different static shapes share one SmplModel)."""
+    from human_dynamics_tpu.core import synthetic_smpl_model
+    from human_dynamics_tpu.models.omega import compute_smpl
+
+    model = synthetic_smpl_model(num_verts=128, num_kps=19)
+    raw = jnp.zeros((2, 4, 85)).at[..., 0].set(1.0)
+
+    @jax.jit
+    def f1(raw):
+        return compute_smpl(model, raw, fused=True,
+                            want_verts=False).joints
+
+    @jax.jit
+    def f2(raw):  # different trace, same cached constants
+        return compute_smpl(model, raw[:1], fused=True,
+                            want_verts=False).joints
+
+    a = f1(raw)
+    b = f2(raw)   # leaked tracers would raise UnexpectedTracerError
+    assert np.all(np.isfinite(np.asarray(a)))
+    assert np.all(np.isfinite(np.asarray(b)))
