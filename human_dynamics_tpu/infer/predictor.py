@@ -35,6 +35,11 @@ from human_dynamics_tpu.models.hmmr import HmmrModel
 from human_dynamics_tpu.models.omega import compute_smpl, split_omega
 
 
+def _next_pow2(x: int) -> int:
+    """Smallest power of two >= x (compile-count bucketing)."""
+    return 1 << max(0, (x - 1)).bit_length()
+
+
 class HmmrPredictor:
     """Holds (model, params, smpl) and runs windowed prediction.
 
@@ -232,8 +237,11 @@ class HmmrPredictor:
             seq_length=self.seq_length,
             fov=self.model.fov,
         )
+        # `count` may be bucketed above sched.count: extend the back
+        # zero-fill accordingly (extra windows see zeros; trimmed below).
+        extra = (count - sched.count) * self.batch_size * sched.good_frames
         phi_padded = jnp.pad(
-            phi, [(sched.margin, sched.num_fill), (0, 0)]
+            phi, [(sched.margin, sched.num_fill + extra), (0, 0)]
         )
         out = self._predict_windows(variables, phi_padded, count)
         return {
@@ -274,6 +282,9 @@ class HmmrPredictor:
             n = len(frames)
             chunk = 64
             n_chunks = int(np.ceil(n / chunk))
+            # Bucket the chunk count (powers of two) so assorted video
+            # lengths share compiled programs.
+            n_chunks = _next_pow2(n_chunks)
             frames = jnp.asarray(frames, jnp.float32)
             inputs = jnp.pad(
                 frames, [(0, n_chunks * chunk - n)] + [(0, 0)] * 3
@@ -288,8 +299,9 @@ class HmmrPredictor:
             seq_length=self.seq_length,
             fov=self.model.fov,
         )
+        count = _next_pow2(sched.count)
         out = self._predict_fused(
-            self.variables, inputs, n, sched.count, image_mode
+            self.variables, inputs, n, count, image_mode
         )
         if as_numpy:
             out = jax.device_get(out)
