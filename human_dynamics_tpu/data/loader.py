@@ -84,12 +84,14 @@ class ExampleStream:
         seed: int = 0,
         host_id: int = 0,
         num_hosts: int = 1,
+        decode_images: bool = False,
     ):
         if not files:
             raise FileNotFoundError("No tfrecord shards found")
         self.files = files[host_id::num_hosts]
         self.t = t
         self.num_kps = num_kps
+        self.decode_images = decode_images
         self.rng = np.random.RandomState(seed + host_id)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
@@ -114,6 +116,29 @@ class ExampleStream:
         }
         if ex.phis is not None:
             out["phis"] = _pad_to_t(ex.phis[window], t).astype(np.float32)
+        if self.decode_images and ex.image_datas is not None:
+            # Image-mode training (precomputed_phi=False): decode only
+            # the sampled window's jpegs; labels stay in crop pixel
+            # coords (3, K) for the on-device tube augmentation
+            # (read_data, data_loader_sequence.py:298-308).
+            import cv2
+
+            imgs = np.stack([
+                cv2.cvtColor(
+                    cv2.imdecode(
+                        np.frombuffer(d, np.uint8), cv2.IMREAD_COLOR
+                    ),
+                    cv2.COLOR_BGR2RGB,
+                )
+                for d in ex.image_datas[window]
+            ]).astype(np.float32) / 255.0
+            out["images"] = _pad_to_t(imgs, t)
+            out["labels_raw"] = _pad_to_t(
+                np.transpose(ex.kps[window], (0, 2, 1)), t
+            )[:, :, :self.num_kps].astype(np.float32)
+            out["centers"] = _pad_to_t(
+                ex.centers[window].astype(np.float32), t
+            )
         return out
 
 
@@ -231,14 +256,16 @@ class TrainDataPipeline:
         elif not files_3d:
             files_2d, files_3d = split_list(files_2d)
 
+        decode_images = not config.precomputed_phi
         self.stream_2d = iter(ExampleStream(
             files_2d, config.T, config.num_kps, config.seed,
-            host_id, num_hosts,
+            host_id, num_hosts, decode_images=decode_images,
         ))
         self.stream_3d = iter(ExampleStream(
             files_3d, config.T, config.num_kps, config.seed + 1,
-            host_id, num_hosts,
+            host_id, num_hosts, decode_images=decode_images,
         ))
+        self._aug_rng_counter = 0
         self.mocap = iter(MocapStream(
             MocapStream.mocap_files(config.data_dir,
                                     config.mocap_datasets),
@@ -263,6 +290,10 @@ class TrainDataPipeline:
         poses_real = np.stack(
             [next(self.mocap)[0] for _ in range(self.pool_size)]
         )
+
+        if not self.config.precomputed_phi:
+            return self._assemble_image_batch(examples, poses_real)
+
         return Batch(
             phis=stack("phis"),
             kps=stack("kps"),
@@ -272,6 +303,69 @@ class TrainDataPipeline:
             has_3d_joints=stack("has_3d_joints"),
             has_3d_smpl=stack("has_3d_smpl"),
             poses_real=poses_real.reshape(self.pool_size, 24, 3),
+        )
+
+    def _assemble_image_batch(self, examples, poses_real):
+        """Image-mode batch: on-device tube augmentation per example
+        (read_data's TubePreprocessor call,
+        data_loader_sequence.py:298-308)."""
+        import jax
+        import jax.numpy as jnp
+
+        from human_dynamics_tpu.data.augment import (
+            augment_tube,
+            sample_tube_params,
+        )
+        from human_dynamics_tpu.train.trainer import Batch
+
+        c = self.config
+        b, t = c.batch_size, c.T
+        crops_all, kps_all, poses_all, gt3ds_all = [], [], [], []
+        for e in examples:
+            self._aug_rng_counter += 1
+            params = sample_tube_params(
+                jax.random.PRNGKey(c.seed * 100003 +
+                                   self._aug_rng_counter),
+                t,
+                trans_max=c.trans_max,
+                delta_trans_max=c.delta_trans_max,
+                scale_max=c.scale_max,
+                delta_scale_max=c.delta_scale_max,
+                rotate_max=c.rotate_max,
+                delta_rotate_max=c.delta_rotate_max,
+            )
+            crops, labels, poses, gt3ds = augment_tube(
+                jnp.asarray(e["images"]),
+                jnp.asarray(e["labels_raw"]),
+                jnp.asarray(e["centers"]),
+                jnp.asarray(e["poses"].reshape(t, 72)),
+                jnp.asarray(e["gt3ds"]),
+                params,
+                output_size=c.img_size,
+                apply_rotation=c.rotate_max != 0,
+            )
+            crops_all.append(crops)
+            kps_all.append(jnp.transpose(labels, (0, 2, 1)))
+            poses_all.append(poses)
+            gt3ds_all.append(gt3ds)
+
+        return Batch(
+            phis=jnp.stack(crops_all),       # (B, T, S, S, 3) images
+            kps=jnp.stack(kps_all),
+            poses_gt=jnp.stack(poses_all).reshape(b, t, 24, 3),
+            shapes_gt=jnp.asarray(
+                np.stack([e["shape"] for e in examples])
+            ),
+            joints_gt=jnp.stack(gt3ds_all),
+            has_3d_joints=jnp.asarray(
+                np.stack([e["has_3d_joints"] for e in examples])
+            ),
+            has_3d_smpl=jnp.asarray(
+                np.stack([e["has_3d_smpl"] for e in examples])
+            ),
+            poses_real=jnp.asarray(
+                poses_real.reshape(self.pool_size, 24, 3)
+            ),
         )
 
     def _worker(self):

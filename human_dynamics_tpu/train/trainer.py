@@ -121,7 +121,13 @@ def create_train_state(
 ) -> Tuple[TrainState, HmmrModel, PoseDiscriminator]:
     hmmr, disc = build_models(config)
     if sample_input is None:
-        sample_input = jnp.zeros((1, config.T, config.feature_dim))
+        if config.precomputed_phi:
+            sample_input = jnp.zeros((1, config.T, config.feature_dim))
+        else:
+            # Image-mode: init must build the resnet params too.
+            sample_input = jnp.zeros(
+                (1, 1, config.img_size, config.img_size, 3)
+            )
     rng_e, rng_d = jax.random.split(rng)
     params_e = hmmr.init(rng_e, sample_input)
     params_d = disc.init(rng_d, jnp.zeros((2, 23, 9)))
@@ -366,6 +372,16 @@ def train_step(
         total_loss, argnums=(0, 1), has_aux=True
     )(state.params_e["params"], state.params_d["params"])
     grads_e, grads_d = grads
+
+    # freeze_phi: the resnet is excluded from encoder updates
+    # (get_unfrozen_E_vars, trainer_sequence_fc.py:681-685).
+    if config.freeze_phi and "resnet_v2_50" in grads_e:
+        grads_e = {
+            **grads_e,
+            "resnet_v2_50": jax.tree_util.tree_map(
+                jnp.zeros_like, grads_e["resnet_v2_50"]
+            ),
+        }
 
     updates_e, new_opt_e = tx_e.update(
         grads_e, state.opt_state_e, state.params_e["params"]

@@ -1,0 +1,154 @@
+"""End-to-end image-mode training (precomputed_phi=False): records with
+encoded jpegs -> loader decode + on-device tube augmentation -> ResNet
+in the train step."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from human_dynamics_tpu.core import synthetic_smpl_model
+from human_dynamics_tpu.data import (
+    TFRecordWriter,
+    convert_to_example_temporal,
+)
+from human_dynamics_tpu.data.loader import TrainDataPipeline
+from human_dynamics_tpu.utils.config import Config
+
+RNG = np.random.RandomState(61)
+
+
+def write_image_shard(path, n_tubes=2, n_frames=24, crop=96,
+                      with_3d=True):
+    import cv2
+
+    with TFRecordWriter(path) as w:
+        for _ in range(n_tubes):
+            labels = np.zeros((n_frames, 3, 25), np.float32)
+            labels[:, 0] = RNG.uniform(crop * 0.3, crop * 0.7,
+                                       (n_frames, 25))
+            labels[:, 1] = RNG.uniform(crop * 0.3, crop * 0.7,
+                                       (n_frames, 25))
+            labels[:, 2] = 1.0
+            image_datas = [
+                cv2.imencode(
+                    ".jpg",
+                    RNG.randint(0, 255, (crop, crop, 3)).astype(np.uint8),
+                )[1].tobytes()
+                for _ in range(n_frames)
+            ]
+            w.write(convert_to_example_temporal(
+                image_datas=image_datas,
+                image_paths=[f"f{i}.png" for i in range(n_frames)],
+                image_shapes=np.full((n_frames, 2), crop),
+                labels=labels,
+                centers=np.full((n_frames, 2), crop // 2),
+                gt3ds=(RNG.randn(n_frames, 14, 3).astype(np.float32)
+                       if with_3d else None),
+                scale_factors=np.ones((n_frames, 2), np.float32),
+                start_pts=np.zeros((n_frames, 2), np.int64),
+                cams=(np.ones((n_frames, 3), np.float32)
+                      if with_3d else None),
+                poses=(RNG.randn(n_frames, 72).astype(np.float32) * 0.2
+                       if with_3d else None),
+                shape=(RNG.randn(10).astype(np.float32) * 0.3
+                       if with_3d else None),
+            ))
+
+
+@pytest.fixture(scope="module")
+def image_data_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("imgdata")
+    for ds, with_3d in (("insta_variety", False), ("h36m", True)):
+        d = root / ds / "train"
+        d.mkdir(parents=True)
+        write_image_shard(str(d / "shard_0.tfrecord"), with_3d=with_3d)
+    mocap = root / "mocap_neutrMosh"
+    mocap.mkdir()
+    from human_dynamics_tpu.data.tfrecord import encode_example
+
+    with TFRecordWriter(str(mocap / "neutrSMPL_CMU_0.tfrecord")) as w:
+        for _ in range(400):
+            w.write(encode_example({
+                "pose": RNG.randn(72).astype(np.float32) * 0.2,
+                "shape": RNG.randn(10).astype(np.float32) * 0.3,
+            }))
+    return str(root)
+
+
+def image_config(data_dir, **kw):
+    defaults = dict(
+        batch_size=2, T=8, num_kps=25, img_size=64,
+        precomputed_phi=False, feature_dim=2048,
+        data_dir=data_dir, datasets=("insta_variety", "h36m"),
+        mocap_datasets=("CMU",),
+        do_hallucinate=False, predict_delta=False,
+    )
+    defaults.update(kw)
+    return Config(**defaults)
+
+
+def test_image_mode_batch(image_data_dir):
+    config = image_config(image_data_dir)
+    pipeline = TrainDataPipeline(config)
+    batch = pipeline._assemble_batch()
+    assert batch.phis.shape == (2, 8, 64, 64, 3)   # images, not phis
+    assert float(batch.phis.min()) >= -1.0 - 1e-5
+    assert float(batch.phis.max()) <= 1.0 + 1e-5
+    assert batch.kps.shape == (2, 8, 25, 3)
+    # Normalized kp coords (jittered points may land slightly outside
+    # the crop -> beyond +-1, same as the reference's un-clamped
+    # normalization, tube_augmentation.py:174-182).
+    assert float(jnp.abs(batch.kps[..., :2]).max()) <= 3.0
+    assert batch.poses_gt.shape == (2, 8, 24, 3)
+
+
+def test_image_mode_train_step(image_data_dir):
+    from human_dynamics_tpu.train.trainer import Trainer
+
+    config = image_config(image_data_dir)
+    pipeline = TrainDataPipeline(config)
+    batch = pipeline._assemble_batch()
+    smpl = synthetic_smpl_model(num_verts=32, num_kps=25)
+    trainer = Trainer(config, smpl)
+    metrics = trainer.step(batch)
+    assert np.isfinite(float(metrics["e_loss"]))
+    assert np.isfinite(float(metrics["d_loss"]))
+
+
+def test_freeze_phi_keeps_resnet_fixed(image_data_dir):
+    """freeze_phi: resnet params must not move in the train step
+    (get_unfrozen_E_vars, trainer_sequence_fc.py:681-685)."""
+    import jax
+
+    from human_dynamics_tpu.train.trainer import Trainer
+
+    config = image_config(image_data_dir, freeze_phi=True)
+    pipeline = TrainDataPipeline(config)
+    batch = pipeline._assemble_batch()
+    smpl = synthetic_smpl_model(num_verts=32, num_kps=25)
+    trainer = Trainer(config, smpl)
+    before = jax.tree_util.tree_map(
+        np.asarray, trainer.state.params_e["params"]["resnet_v2_50"]
+    )
+    ief_before = np.asarray(
+        trainer.state.params_e["params"]["single_view_ief"]["fc1"]["kernel"]
+    )
+    trainer.step(batch)
+    after = trainer.state.params_e["params"]["resnet_v2_50"]
+    from human_dynamics_tpu.utils.checkpoint import flatten_tree
+
+    flat_before = flatten_tree(before)
+    flat_after = flatten_tree(
+        jax.tree_util.tree_map(np.asarray, after)
+    )
+    assert set(flat_before) == set(flat_after)
+    for k in flat_before:
+        np.testing.assert_array_equal(flat_before[k], flat_after[k],
+                                      err_msg=k)
+    # IEF still trains.
+    ief_after = np.asarray(
+        trainer.state.params_e["params"]["single_view_ief"]["fc1"]["kernel"]
+    )
+    assert not np.allclose(ief_before, ief_after)
