@@ -194,3 +194,29 @@ def test_trainer_render_summary():
     assert strip.shape == (224, 224 * 4, 3)
     assert strip.dtype == np.uint8
     assert strip.min() < 255  # something was drawn
+
+
+def test_predictor_hal_mode():
+    """pred_mode='hal': predictions flow from the hallucinator branch
+    (tester.py:183-194); delta heads come from do_hallucinate_preds."""
+    from human_dynamics_tpu.core import synthetic_smpl_model
+    from human_dynamics_tpu.infer.predictor import HmmrPredictor
+    from human_dynamics_tpu.models.hmmr import HmmrModel
+
+    model = HmmrModel(
+        feature_dim=64, do_hallucinate=True, do_hallucinate_preds=True
+    )
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 20, 64)))
+    smpl = synthetic_smpl_model(num_verts=32, num_kps=25)
+    phi = RNG.randn(30, 64).astype(np.float32)
+
+    hal = HmmrPredictor(model, variables, smpl, batch_size=2,
+                        seq_length=20, pred_mode="hal")
+    pred = HmmrPredictor(model, variables, smpl, batch_size=2,
+                         seq_length=20, pred_mode="pred")
+    o_hal = hal.predict_all_images(phi)
+    o_pred = pred.predict_all_images(phi)
+    assert o_hal["omegas"].shape == (30, 85)
+    assert o_hal["omegas_delta"].shape == (30, 2, 85)
+    # Different branches -> different outputs (same shapes).
+    assert not np.allclose(o_hal["omegas"], o_pred["omegas"])
