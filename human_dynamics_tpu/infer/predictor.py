@@ -125,6 +125,16 @@ class HmmrPredictor:
     @functools.partial(jax.jit, static_argnums=(0, 3))
     def _predict_windows(self, variables, phi_padded: jax.Array, count: int):
         """phi_padded (P, 2048) -> dict of (count, B, g, ...) outputs."""
+        return self._predict_window_groups(
+            variables, phi_padded, jnp.arange(count)
+        )
+
+    def _predict_window_groups(
+        self, variables, phi_padded: jax.Array, group_ids: jax.Array
+    ):
+        """Process the window groups in ``group_ids`` (the sharded entry
+        point maps a per-device slice of groups over a replicated
+        feature buffer)."""
         b = self.batch_size
         t = self.seq_length
         margin = (self.model.fov - 1) // 2
@@ -199,7 +209,66 @@ class HmmrPredictor:
                     result[k] = jnp.stack(v, axis=2)
             return result
 
-        return jax.lax.map(one_group, jnp.arange(count))
+        return jax.lax.map(one_group, group_ids)
+
+    # ------------------------------------------------------------------
+    # Multi-chip data-parallel windowed inference
+    # ------------------------------------------------------------------
+
+    def predict_all_images_sharded(
+        self, frames, mesh, phi=None, as_numpy: bool = True
+    ) -> Dict[str, np.ndarray]:
+        """predict_all_images with window groups sharded over a mesh.
+
+        The per-frame feature buffer is replicated (N x 2048 — small);
+        each device runs its slice of window groups; outputs come back
+        sharded on the group axis and are stitched identically to the
+        single-chip path. Same results as predict_all_images.
+
+        Args:
+            frames/phi: as in predict_all_images (phi mode; image mode
+                encodes on one device first).
+            mesh: 1-D jax.sharding.Mesh.
+        """
+        from jax.sharding import PartitionSpec as P
+
+        axis = mesh.axis_names[0]
+        n_dev = mesh.devices.size
+
+        if phi is None:
+            if hasattr(frames, "ndim") and frames.ndim == 2:
+                phi = frames
+            else:
+                phi = self.encode_frames(frames)
+        n = len(phi)
+
+        sched = WindowSchedule(
+            num_frames=n,
+            batch_size=self.batch_size,
+            seq_length=self.seq_length,
+            fov=self.model.fov,
+        )
+        # Round group count up to the mesh size.
+        count = int(np.ceil(sched.count / n_dev)) * n_dev
+        extra = (count - sched.count) * self.batch_size * sched.good_frames
+        phi_padded = jnp.pad(
+            jnp.asarray(phi, jnp.float32),
+            [(sched.margin, sched.num_fill + extra), (0, 0)],
+        )
+
+        run = jax.shard_map(
+            lambda v, p, ids: self._predict_window_groups(v, p, ids),
+            mesh=mesh,
+            in_specs=(P(), P(), P(axis)),
+            out_specs=P(axis),
+        )
+        out = run(self.variables, phi_padded, jnp.arange(count))
+
+        def stitch(v):
+            flat = v.reshape((-1,) + v.shape[3:])[:n]
+            return np.asarray(flat) if as_numpy else flat
+
+        return {k: stitch(v) for k, v in out.items()}
 
     @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
     def _predict_fused(

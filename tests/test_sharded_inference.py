@@ -77,3 +77,25 @@ def test_sharded_clip_long(setup):
     assert got["joints"].shape == (n, 25, 3)
     assert "verts" not in got
     assert bool(jnp.isfinite(got["omegas"]).all())
+
+
+def test_windowed_predictor_sharded_matches_single():
+    """DP-sharded windowed inference == single-device windowed inference
+    (window groups over the mesh, replicated features)."""
+    from tests.test_infer import FakeHmmrModel
+    from human_dynamics_tpu.infer.predictor import HmmrPredictor
+
+    smpl = synthetic_smpl_model(num_verts=48, num_kps=19)
+    model = FakeHmmrModel()
+    pred = HmmrPredictor(model, None, smpl, batch_size=2, seq_length=20)
+    phi = RNG.randn(77, 160).astype(np.float32) * 0.5
+
+    single = pred.predict_all_images(phi)
+    mesh = make_mesh(8, axis_name="data")
+    sharded = pred.predict_all_images_sharded(phi, mesh)
+
+    assert set(single) == set(sharded)
+    for k in sorted(single):
+        np.testing.assert_allclose(
+            sharded[k], single[k], atol=2e-5, err_msg=k
+        )
