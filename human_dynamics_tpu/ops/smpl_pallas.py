@@ -211,10 +211,60 @@ def smpl_forward_fused(
     want_verts: bool = True,
 ) -> SmplForward:
     """Drop-in replacement for core.smpl.smpl_forward using the fused
-    kernel for the (N, V)-sized work."""
+    kernel for the (N, V)-sized work.
+
+    Differentiable: the forward runs the Pallas kernel; the backward
+    (custom VJP below) differentiates the mathematically identical
+    XLA-composed smpl_forward — correct gradients without writing a
+    hand-rolled backward kernel (pallas_guide.md custom-VJP pattern).
+    """
     if constants is None:
         with jax.ensure_compile_time_eval():
             constants = prepare_fused_constants(model, block_v)
+
+    @jax.custom_vjp
+    def run(beta, theta):
+        return _fused_primal(
+            model, constants, beta, theta, block_v, block_n,
+            interpret, want_verts,
+        )
+
+    def fwd(beta, theta):
+        return run(beta, theta), (beta, theta)
+
+    def bwd(residuals, g):
+        from human_dynamics_tpu.core.smpl import smpl_forward
+
+        beta_r, theta_r = residuals
+        out, vjp = jax.vjp(
+            lambda b, t: smpl_forward(model, b, t), beta_r, theta_r
+        )
+
+        def cot(gx, ref):
+            return gx if gx is not None else jnp.zeros_like(ref)
+
+        cotangent = SmplForward(
+            cot(g.verts, out.verts),
+            cot(g.joints, out.joints),
+            cot(g.rots, out.rots),
+            cot(g.j_posed, out.j_posed),
+        )
+        return vjp(cotangent)
+
+    run.defvjp(fwd, bwd)
+    return run(beta, theta)
+
+
+def _fused_primal(
+    model: SmplModel,
+    constants: FusedSmplConstants,
+    beta: jax.Array,
+    theta: jax.Array,
+    block_v: int,
+    block_n: int,
+    interpret: bool,
+    want_verts: bool,
+) -> SmplForward:
     # Mosaic only compiles for TPU; interpret elsewhere (CPU tests).
     interpret = interpret or jax.default_backend() != "tpu"
     n = beta.shape[0]

@@ -101,3 +101,27 @@ def test_fused_constants_cache_across_traces():
     b = f2(raw)   # leaked tracers would raise UnexpectedTracerError
     assert np.all(np.isfinite(np.asarray(a)))
     assert np.all(np.isfinite(np.asarray(b)))
+
+
+def test_fused_gradients_match_composed():
+    """The fused path's custom VJP must produce the composed path's
+    gradients (training with use_fused_smpl)."""
+    model = synthetic_smpl_model(num_verts=128, num_kps=19)
+    beta = jnp.asarray(RNG.randn(3, 10).astype(np.float32) * 0.3)
+    theta = jnp.asarray(RNG.randn(3, 72).astype(np.float32) * 0.3)
+
+    def loss_fused(b, t):
+        out = smpl_forward_fused(model, b, t, block_v=128, block_n=16,
+                                 want_verts=False)
+        return jnp.sum(out.joints ** 2) + jnp.sum(out.rots)
+
+    def loss_ref(b, t):
+        out = smpl_forward(model, b, t)
+        return jnp.sum(out.joints ** 2) + jnp.sum(out.rots)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1))(beta, theta)
+    gr = jax.grad(loss_ref, argnums=(0, 1))(beta, theta)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=5e-3, rtol=1e-3
+        )
