@@ -56,6 +56,30 @@ def get_all_files(
     return files
 
 
+def shuffle_buffered(
+    iterator: Iterator,
+    rng: np.random.RandomState,
+    capacity: int = 300,
+) -> Iterator:
+    """Buffered shuffle: yields items in randomized order from a rolling
+    buffer of `capacity` items, decorrelating consecutive tubes that
+    come from the same shard (shuffle_batch with capacity ~300,
+    data_loader_sequence.py:145-152)."""
+    if capacity <= 1:
+        yield from iterator
+        return
+    buf: List = []
+    for item in iterator:
+        if len(buf) < capacity:
+            buf.append(item)
+            continue
+        idx = rng.randint(len(buf))
+        out, buf[idx] = buf[idx], item
+        yield out
+    rng.shuffle(buf)
+    yield from buf
+
+
 def pick_window(n: int, t: int, rng: np.random.RandomState) -> slice:
     """Random contiguous T window (pick_sequences)."""
     if n <= t:
@@ -85,6 +109,7 @@ class ExampleStream:
         host_id: int = 0,
         num_hosts: int = 1,
         decode_images: bool = False,
+        shuffle_buffer: int = 300,
     ):
         if not files:
             raise FileNotFoundError("No tfrecord shards found")
@@ -92,9 +117,10 @@ class ExampleStream:
         self.t = t
         self.num_kps = num_kps
         self.decode_images = decode_images
+        self.shuffle_buffer = shuffle_buffer
         self.rng = np.random.RandomState(seed + host_id)
 
-    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+    def _raw_stream(self) -> Iterator[Dict[str, np.ndarray]]:
         while True:
             order = self.rng.permutation(len(self.files))
             for fi in order:
@@ -102,6 +128,13 @@ class ExampleStream:
                     ex = parse_temporal_example(serialized)
                     window = pick_window(ex.n, self.t, self.rng)
                     yield self._make_example(ex, window)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        # Within-shard shuffle (shuffle_batch parity): without it,
+        # consecutive batches stream tubes in file order per shard.
+        return shuffle_buffered(
+            self._raw_stream(), self.rng, self.shuffle_buffer
+        )
 
     def _make_example(self, ex, window) -> Dict[str, np.ndarray]:
         t = self.t
@@ -257,13 +290,18 @@ class TrainDataPipeline:
             files_2d, files_3d = split_list(files_2d)
 
         decode_images = not config.precomputed_phi
+        # Shuffle-buffer parity with shuffle_batch's ~300 capacity for
+        # phi tubes; image tubes are ~20 MB each, so bound host RAM.
+        shuffle_buffer = 16 if decode_images else 300
         self.stream_2d = iter(ExampleStream(
             files_2d, config.T, config.num_kps, config.seed,
             host_id, num_hosts, decode_images=decode_images,
+            shuffle_buffer=shuffle_buffer,
         ))
         self.stream_3d = iter(ExampleStream(
             files_3d, config.T, config.num_kps, config.seed + 1,
             host_id, num_hosts, decode_images=decode_images,
+            shuffle_buffer=shuffle_buffer,
         ))
         self._aug_rng_counter = 0
         self.mocap = iter(MocapStream(
@@ -369,8 +407,13 @@ class TrainDataPipeline:
         )
 
     def _worker(self):
-        while True:
-            self._queue.put(self._assemble_batch())
+        # Exceptions are forwarded to the consumer instead of dying
+        # silently (which would leave __iter__ blocked forever).
+        try:
+            while True:
+                self._queue.put(self._assemble_batch())
+        except BaseException as exc:  # noqa: BLE001 - forwarded
+            self._queue.put(_WorkerError(exc))
 
     def __iter__(self):
         if self._thread is None:
@@ -379,4 +422,16 @@ class TrainDataPipeline:
             )
             self._thread.start()
         while True:
-            yield self._queue.get()
+            item = self._queue.get()
+            if isinstance(item, _WorkerError):
+                raise RuntimeError(
+                    "training data prefetch worker failed"
+                ) from item.exc
+            yield item
+
+
+class _WorkerError:
+    """Sentinel carrying an exception across the prefetch queue."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc

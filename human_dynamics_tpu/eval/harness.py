@@ -127,15 +127,21 @@ class Evaluator:
         output_dir: str,
         pred_mode: str = "pred",
         smpl=None,
+        model_tag: str = "model",
     ):
         self.predictor = predictor
         self.output_dir = output_dir
         self.pred_mode = pred_mode
         self.smpl = smpl if smpl is not None else predictor.smpl
+        # Cache key includes the model identity + window length like the
+        # reference's path schema (prediction.py:22-102), so re-running
+        # into the same out_dir with a different checkpoint or T cannot
+        # return stale predictions.
+        self.model_tag = f"{model_tag}_T{predictor.seq_length}"
         os.makedirs(output_dir, exist_ok=True)
 
     def _cache_path(self, kind, dataset, record_name, person_id):
-        d = os.path.join(self.output_dir, kind, dataset)
+        d = os.path.join(self.output_dir, kind, self.model_tag, dataset)
         os.makedirs(d, exist_ok=True)
         return os.path.join(
             d, f"{record_name}_person{person_id}_{self.pred_mode}.pkl"
@@ -173,9 +179,10 @@ class Evaluator:
 
         preds = self.predict_tube(dataset, record_name, person_id, data)
         n = data["N"]
+        # kp errors are in pixels at the crop resolution; test records
+        # store 224 crops (eval.py:211 normalizes the same way).
         img_size = (
-            data["images"][0].shape[0] if data.get("images")
-            else self.predictor.seq_length and 224
+            data["images"][0].shape[0] if data.get("images") else 224
         )
         errors = compute_errors_batched(
             kps_gt=np.asarray(data["kps"], np.float64)[:n],
@@ -257,6 +264,53 @@ class Evaluator:
             json.dump(results, f, indent=4, sort_keys=True)
         return results
 
+    def run_const(
+        self,
+        tf_dir: str,
+        datasets: List[str],
+        split: str = "test",
+        delta_ts=(-5, 5),
+        max_records: Optional[int] = None,
+    ) -> Dict[str, Dict[str, float]]:
+        """Hallucination-dynamics table: +-dt predictions vs the
+        constant-pose baseline, per dataset (test_sequence_const,
+        eval.py:246-327), exposed from the CLI via --test_const."""
+        results: Dict[str, Dict[str, float]] = {}
+        for dataset in datasets:
+            pattern = os.path.join(tf_dir, dataset, split, "*.tfrecord")
+            files = sorted(glob.glob(pattern))
+            if max_records:
+                files = files[:max_records]
+            agg: Dict[str, List] = {}
+            for path in files:
+                record_name = os.path.splitext(os.path.basename(path))[0]
+                for person_id, serialized in enumerate(
+                    read_tfrecord(path)
+                ):
+                    data = read_test_example(serialized)
+                    preds = self.predict_tube(
+                        dataset, record_name, person_id, data
+                    )
+                    errors = test_sequence_const(
+                        data, preds, delta_ts=delta_ts
+                    )
+                    for k, v in errors.items():
+                        agg.setdefault(k, []).append(v)
+            M.mean_of_dict_values(agg)
+            results[dataset] = agg
+            print(f"[{dataset}] const-baseline comparison:")
+            for k in sorted(agg):
+                print(f"  {k}: {agg[k]:.5f}")
+
+        out_path = os.path.join(
+            self.output_dir,
+            f"results_const_{split}_{self.pred_mode}_"
+            f"{'-'.join(datasets)}.json",
+        )
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=4, sort_keys=True)
+        return results
+
 
 def test_sequence_const(
     data,
@@ -299,6 +353,55 @@ def test_sequence_const(
     return errors
 
 
+_MODEL_CONFIG_KEYS = (
+    "num_conv_layers", "delta_t_values", "predict_delta",
+    "do_hallucinate", "do_hallucinate_preds", "use_hmr_only",
+    "num_stage", "use_delta_from_pred", "feature_dim",
+)
+
+
+def restore_model_config(load_path: str) -> Dict[str, object]:
+    """Re-apply the training run's architecture hyperparams at eval time.
+
+    Looks for a params.json next to the checkpoint (the trainer writes
+    one into model_dir) and returns the HmmrModel kwargs recorded there,
+    so evaluating a non-default-architecture checkpoint builds the right
+    model. Mirrors restore_config (eval.py:93-111), which applies all
+    saved flags except batch/T/paths — here only the architecture keys
+    feed HmmrModel, so only those are returned.
+    """
+    search_dirs = []
+    d = load_path if os.path.isdir(load_path) else os.path.dirname(load_path)
+    while d and d not in search_dirs:
+        search_dirs.append(d)
+        if len(search_dirs) >= 2:
+            break
+        d = os.path.dirname(d)
+
+    candidates: List[str] = []
+    for d in search_dirs:
+        exact = os.path.join(d, "params.json")
+        if os.path.exists(exact):
+            candidates.append(exact)
+        candidates.extend(sorted(glob.glob(os.path.join(d, "*.json"))))
+
+    for path in candidates:
+        try:
+            with open(path) as f:
+                saved = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        if not isinstance(saved, dict):
+            continue
+        kwargs = {k: saved[k] for k in _MODEL_CONFIG_KEYS if k in saved}
+        if kwargs:
+            if "delta_t_values" in kwargs:
+                kwargs["delta_t_values"] = tuple(kwargs["delta_t_values"])
+            print(f"Restored model config from {path}: {kwargs}")
+            return kwargs
+    return {}
+
+
 def print_summary(dataset: str, errors: Dict[str, float]) -> None:
     """Metric table row (eval.py:330-350; column order of
     doc/eval.md:27-31)."""
@@ -331,6 +434,13 @@ def main():
     parser.add_argument("--precomputed_phi", action="store_true")
     parser.add_argument("--fast", action="store_true",
                         help="fused SMPL kernel + bf16 encoder")
+    parser.add_argument(
+        "--test_const", action="store_true",
+        help="run the hallucination-vs-constant-baseline table "
+             "(test_sequence_const) instead of the metric table")
+    parser.add_argument(
+        "--no_restore_config", action="store_true",
+        help="do not re-apply the checkpoint's params.json architecture")
     args = parser.parse_args()
 
     from human_dynamics_tpu.utils.cache import enable_compilation_cache
@@ -343,7 +453,13 @@ def main():
     from human_dynamics_tpu.utils.checkpoint import load_variables
 
     smpl = load_smpl_model(args.smpl_model_path)
-    model = HmmrModel(include_resnet=not args.precomputed_phi)
+    model_kwargs = (
+        {} if args.no_restore_config
+        else restore_model_config(args.load_path)
+    )
+    model = HmmrModel(
+        include_resnet=not args.precomputed_phi, **model_kwargs
+    )
     variables = load_variables(args.load_path)
     predictor = HmmrPredictor(
         model, variables, smpl,
@@ -351,9 +467,14 @@ def main():
         pred_mode=args.pred_mode,
         use_fused_smpl=args.fast, bf16_encoder=args.fast,
     )
-    Evaluator(predictor, args.out_dir, args.pred_mode).run(
-        args.tf_dir, args.datasets, args.split
+    tag = os.path.basename(os.path.normpath(args.load_path))
+    evaluator = Evaluator(
+        predictor, args.out_dir, args.pred_mode, model_tag=tag
     )
+    if args.test_const:
+        evaluator.run_const(args.tf_dir, args.datasets, args.split)
+    else:
+        evaluator.run(args.tf_dir, args.datasets, args.split)
 
 
 if __name__ == "__main__":

@@ -33,22 +33,22 @@ def compute_error_accel(
     joints_pred: np.ndarray,
     vis: Optional[np.ndarray] = None,
 ) -> np.ndarray:
-    """|| (x-1 - 2x + x+1)_gt - (.)_pred || with 3-wide vis masking
-    (eval_util.py:63-94). Returns (M,) for the M valid accel frames."""
-    accel_gt = joints_gt[:-2] - 2 * joints_gt[1:-1] + joints_gt[2:]
-    accel_pred = joints_pred[:-2] - 2 * joints_pred[1:-1] + joints_pred[2:]
-    normed = np.linalg.norm(accel_pred - accel_gt, axis=2)
+    """|| (x-1 - 2x + x+1)_gt - (.)_pred || per accel frame.
 
+    An accel frame i is valid only when all three frames i, i+1, i+2 it
+    touches are visible. Returns (M,) for the M valid frames. Behavioral
+    parity: eval_util.py:63-94.
+    """
+    accel_err = np.linalg.norm(
+        np.diff(joints_pred, n=2, axis=0) - np.diff(joints_gt, n=2, axis=0),
+        axis=2,
+    )
     if vis is None:
-        new_vis = np.ones(len(normed), dtype=bool)
+        keep = np.ones(len(accel_err), dtype=bool)
     else:
-        invis = np.logical_not(vis)
-        invis1 = np.roll(invis, -1)
-        invis2 = np.roll(invis, -2)
-        new_invis = np.logical_or(invis, np.logical_or(invis1, invis2))[:-2]
-        new_vis = np.logical_not(new_invis)
-
-    return np.mean(normed[new_vis], axis=1)
+        v = np.asarray(vis, dtype=bool)
+        keep = v[:-2] & v[1:-1] & v[2:]
+    return np.mean(accel_err[keep], axis=1)
 
 
 def align_by_pelvis(
@@ -139,29 +139,50 @@ def compute_error_3d(
     return errors, errors_pa
 
 
+def compute_opt_cams_batch(
+    got: np.ndarray, want: np.ndarray, vis: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Batched optimal weak-perspective cam [scale, tx, ty] mapping
+    got -> want on the visible points of each frame.
+
+    got, want: (N, K, 2); vis: (N, K) boolean. Returns
+    (new_got (N, K, 2), cams (N, 3)). Solves the same ridge-regularized
+    least squares as the reference (eval_util.py:235-260) — minimize
+    ||s * (x + t) - y|| over visible points, with a 1e-6 ridge on the
+    2x2 normal matrix — but as one batched ``np.linalg.solve`` instead
+    of a per-frame inverse, and with a guarded scale: frames whose
+    optimal scale is ~0 (e.g. all-invisible) yield NaN cams by design
+    rather than tripping a divide warning.
+    """
+    got = np.asarray(got, dtype=np.float64)
+    want = np.asarray(want, dtype=np.float64)
+    w = np.asarray(vis, dtype=np.float64)[..., None]          # (N, K, 1)
+
+    n_vis = np.maximum(w.sum(axis=1), 1.0)                    # (N, 1)
+    mu1 = (got * w).sum(axis=1) / n_vis                       # (N, 2)
+    mu2 = (want * w).sum(axis=1) / n_vis
+    x = (got - mu1[:, None]) * w                              # (N, K, 2)
+    y = (want - mu2[:, None]) * w
+
+    # Normal equations: (X^T X + eps I) s R = X^T Y, isotropic scale only.
+    ata = np.einsum("nki,nkj->nij", x, x) + 1e-6 * np.eye(2)
+    atb = np.einsum("nki,nkj->nij", x, y)
+    scale = np.trace(np.linalg.solve(ata, atb), axis1=1, axis2=2) / 2.0
+
+    safe = np.where(np.abs(scale) > 1e-12, scale, np.nan)
+    trans = mu2 / safe[:, None] - mu1                         # (N, 2)
+    new_got = safe[:, None, None] * (got + trans[:, None])
+    cams = np.concatenate([safe[:, None], trans], axis=1)
+    return new_got, cams
+
+
 def compute_opt_cam_with_vis(
     got: np.ndarray, want: np.ndarray, vis: np.ndarray
 ):
-    """Optimal [scale, tx, ty] mapping got->want on visible points
-    (eval_util.py:235-260). Returns (new_got, cam)."""
-    vis = np.asarray(vis, bool)
-    vis_float = np.expand_dims(vis, 1).astype(float)
-    got_zeroed = got.copy()
-    got_zeroed[np.logical_not(vis)] = 0.0
-    want_zeroed = want.copy()
-    want_zeroed[np.logical_not(vis)] = 0.0
-
-    mu1 = np.sum(got_zeroed, axis=0) / np.sum(vis)
-    mu2 = np.sum(want_zeroed, axis=0) / np.sum(vis)
-    x = vis_float * (got_zeroed - mu1)
-    y = vis_float * (want_zeroed - mu2)
-    eps = 1e-6 * np.identity(2)
-    a_inv = np.linalg.inv(x.T.dot(x) + eps)
-    scale = np.trace(a_inv.dot(x.T.dot(y))) / 2.0
-    trans = mu2 / scale - mu1
-    new_got = scale * (got + trans)
-    cam = np.hstack((scale, trans.ravel()))
-    return new_got, cam
+    """Single-frame wrapper over :func:`compute_opt_cams_batch`
+    (reference signature: eval_util.py:235-260)."""
+    new_got, cams = compute_opt_cams_batch(got[None], want[None], vis[None])
+    return new_got[0], cams[0]
 
 
 def compute_error_kp(
@@ -170,29 +191,32 @@ def compute_error_kp(
     alpha: float = 0.05,
     min_visible: int = 6,
 ) -> Tuple[list, list, list]:
-    """Pixel keypoint error, PA keypoint error, PCK@alpha
-    (eval_util.py:97-137). NaN marks frames with too few visible kps."""
+    """Pixel keypoint error, PA keypoint error, PCK@alpha, vectorized
+    over frames. NaN marks frames with fewer than `min_visible` visible
+    keypoints. Behavioral parity: eval_util.py:97-137.
+    """
+    kps_gt = np.asarray(kps_gt, dtype=np.float64)
+    kps_pred = np.asarray(kps_pred, dtype=np.float64)
     assert len(kps_gt) == len(kps_pred)
-    errors_kp, errors_kp_pa, errors_kp_pck = [], [], []
-    for kp_gt, kp_pred in zip(kps_gt, kps_pred):
-        vis = kp_gt[:, 2].astype(bool)
-        kp_gt_xy = kp_gt[:, :2]
-        if np.all(vis == 0) or np.sum(vis == 1) < min_visible:
-            errors_kp.append(np.nan)
-            errors_kp_pa.append(np.nan)
-            errors_kp_pck.append(np.nan)
-            continue
-        kp_diffs = np.linalg.norm(kp_gt_xy[vis] - kp_pred[vis], axis=1)
-        kp_pred_pa, _ = compute_opt_cam_with_vis(
-            got=kp_pred, want=kp_gt_xy, vis=vis
-        )
-        kp_diffs_pa = np.linalg.norm(
-            kp_gt_xy[vis] - kp_pred_pa[vis], axis=1
-        )
-        errors_kp.append(np.mean(kp_diffs))
-        errors_kp_pck.append(np.mean(kp_diffs_pa < alpha))
-        errors_kp_pa.append(np.mean(kp_diffs_pa))
-    return errors_kp, errors_kp_pa, errors_kp_pck
+
+    vis = kps_gt[..., 2].astype(bool)                         # (N, K)
+    gt_xy = kps_gt[..., :2]
+    n_vis = vis.sum(axis=1)
+    valid = n_vis >= max(min_visible, 1)
+
+    w = vis.astype(np.float64)
+    denom = np.maximum(n_vis, 1)
+    diffs = np.linalg.norm(gt_xy - kps_pred, axis=2)          # (N, K)
+    err = (diffs * w).sum(axis=1) / denom
+
+    with np.errstate(invalid="ignore"):
+        pred_pa, _ = compute_opt_cams_batch(kps_pred, gt_xy, vis)
+        diffs_pa = np.linalg.norm(gt_xy - pred_pa, axis=2)
+        err_pa = (diffs_pa * w).sum(axis=1) / denom
+        pck = ((diffs_pa < alpha) * w).sum(axis=1) / denom
+
+    nan = np.where(valid, 0.0, np.nan)
+    return list(err + nan), list(err_pa + nan), list(pck + nan)
 
 
 def compute_error_verts(

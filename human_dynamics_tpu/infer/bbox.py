@@ -1,87 +1,83 @@
 """Keypoint-track -> smooth bounding-box parameters.
 
-Behavioral port target: /root/reference/src/util/smooth_bbox.py. Pure
-host-side numpy/scipy preprocessing (runs once per track; not a TPU
-concern). The [cx, cy, scale] convention: scale maps the person height to
-150 px (kp_to_bbox_param, smooth_bbox.py:37-61).
+Behavioral parity target: /root/reference/src/util/smooth_bbox.py (the
+[cx, cy, scale] convention maps person height to 150 px). Host-side
+numpy/scipy preprocessing, run once per track — not a TPU concern.
+
+Implementation is column-vectorized rather than the reference's
+per-frame accumulate-and-vstack loop: detections are collected into one
+(N, 3) array with NaN rows for missed frames, gaps are filled with a
+single ``np.interp`` per parameter, and smoothing is one 2-D median
+filter + one axis-0 gaussian.
 """
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
-from scipy.ndimage import gaussian_filter1d
-from scipy import signal
+from scipy import ndimage
 
 
 def kp_to_bbox_param(
     kp: Optional[np.ndarray], vis_thresh: float
 ) -> Optional[np.ndarray]:
-    """Kx3 keypoints -> [cx, cy, scale] or None (smooth_bbox.py:37-61)."""
+    """Kx3 keypoints -> [cx, cy, scale] or None.
+
+    Center is the midpoint of the visible-keypoint extent; scale maps the
+    extent diagonal ("person height") to 150 px. Detections with <0.5 px
+    extent are rejected. Parity: smooth_bbox.py:37-61.
+    """
     if kp is None:
         return None
-    vis = kp[:, 2] > vis_thresh
-    if not np.any(vis):
+    visible = np.asarray(kp)[np.asarray(kp)[:, 2] > vis_thresh, :2]
+    if visible.size == 0:
         return None
-    min_pt = np.min(kp[vis, :2], axis=0)
-    max_pt = np.max(kp[vis, :2], axis=0)
-    person_height = np.linalg.norm(max_pt - min_pt)
-    if person_height < 0.5:
+    lo, hi = visible.min(axis=0), visible.max(axis=0)
+    height = float(np.hypot(*(hi - lo)))
+    if height < 0.5:
         return None
-    center = (min_pt + max_pt) / 2.0
-    scale = 150.0 / person_height
-    return np.append(center, scale)
+    return np.concatenate([(lo + hi) / 2.0, [150.0 / height]])
 
 
 def get_all_bbox_params(
-    kps: List[Optional[np.ndarray]], vis_thresh: float = 2
+    kps: Sequence[Optional[np.ndarray]], vis_thresh: float = 2
 ) -> Tuple[np.ndarray, int, int]:
     """Per-frame bbox params with linear interpolation over gaps.
 
-    Returns (bbox_params (M,3), start_index (incl), end_index (excl)).
-    Reference: smooth_bbox.py:64-105.
+    Returns ``(bbox_params (M, 3), start (incl), end (excl))`` where
+    frames before the first and after the last detection are dropped and
+    interior gaps are linearly interpolated. Parity: smooth_bbox.py:64-105.
     """
-    num_to_interpolate = 0
-    start_index = -1
-    bbox_params = np.empty(shape=(0, 3), dtype=np.float32)
-
-    i = -1
+    per_frame = np.full((len(kps), 3), np.nan)
     for i, kp in enumerate(kps):
-        bbox_param = kp_to_bbox_param(kp, vis_thresh=vis_thresh)
-        if bbox_param is None:
-            num_to_interpolate += 1
-            continue
+        param = kp_to_bbox_param(kp, vis_thresh=vis_thresh)
+        if param is not None:
+            per_frame[i] = param
 
-        if start_index == -1:
-            start_index = i
-            num_to_interpolate = 0
+    detected = np.flatnonzero(~np.isnan(per_frame[:, 0]))
+    if detected.size == 0:
+        return np.empty((0, 3)), -1, 0
+    start, end = int(detected[0]), int(detected[-1]) + 1
 
-        if num_to_interpolate > 0:
-            previous = bbox_params[-1]
-            interpolated = np.array(
-                [
-                    np.linspace(prev, curr, num_to_interpolate + 2)
-                    for prev, curr in zip(previous, bbox_param)
-                ]
-            )
-            bbox_params = np.vstack((bbox_params, interpolated.T[1:-1]))
-            num_to_interpolate = 0
-        bbox_params = np.vstack((bbox_params, bbox_param))
-
-    return bbox_params, start_index, i - num_to_interpolate + 1
+    frames = np.arange(start, end)
+    filled = np.stack(
+        [np.interp(frames, detected, per_frame[detected, c]) for c in range(3)],
+        axis=1,
+    )
+    return filled, start, end
 
 
 def smooth_bbox_params(
     bbox_params: np.ndarray, kernel_size: int = 11, sigma: float = 8
 ) -> np.ndarray:
-    """Median then gaussian filter per parameter (smooth_bbox.py:108-123)."""
-    smoothed = np.array(
-        [signal.medfilt(param, kernel_size) for param in bbox_params.T]
-    ).T
-    return np.array(
-        [gaussian_filter1d(traj, sigma) for traj in smoothed.T]
-    ).T
+    """Median filter (zero-padded, matching scipy.signal.medfilt) then
+    gaussian filter along time, per parameter. Parity: smooth_bbox.py:108-123.
+    """
+    medianed = ndimage.median_filter(
+        bbox_params, size=(kernel_size, 1), mode="constant", cval=0.0
+    )
+    return ndimage.gaussian_filter1d(medianed, sigma, axis=0)
 
 
 def get_smooth_bbox_params(
@@ -93,9 +89,8 @@ def get_smooth_bbox_params(
     """Interpolated + median + gaussian smoothed [cx, cy, scale] per frame.
 
     Returns (smoothed (start+M, 3) with zero rows before `start`, start,
-    end). Reference: smooth_bbox.py:10-34.
+    end). Parity: smooth_bbox.py:10-34.
     """
     bbox_params, start, end = get_all_bbox_params(kps, vis_thresh)
     smoothed = smooth_bbox_params(bbox_params, kernel_size, sigma)
-    smoothed = np.vstack((np.zeros((start, 3)), smoothed))
-    return smoothed, start, end
+    return np.vstack((np.zeros((start, 3)), smoothed)), start, end

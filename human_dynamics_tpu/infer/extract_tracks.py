@@ -58,16 +58,20 @@ def run_poseflow(
             f"{TRACKED_JSON} directly."
         )
     alpha_json = os.path.join(out_dir, "alphapose-results.json")
+    # PoseFlow writes exactly the path given via --out_json; the demo
+    # waits for the tracked name, so pass it directly
+    # (extract_tracks.py:95-106).
     cmd = [
         "python3", "tracker-general.py",
         "--imgdir", os.path.abspath(img_dir),
         "--in_json", os.path.abspath(alpha_json),
-        "--out_json", os.path.abspath(
-            os.path.join(out_dir, "alphapose-results-forvis.json")
-        ),
-        "--visdir", "",
+        "--out_json", os.path.abspath(out_json),
     ]
     subprocess.run(cmd, cwd=poseflow_dir, check=True)
+    if not os.path.exists(out_json):
+        raise RuntimeError(
+            f"PoseFlow ran but did not produce {out_json}."
+        )
     return out_json
 
 

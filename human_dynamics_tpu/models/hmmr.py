@@ -45,6 +45,53 @@ def default_mean_omega() -> np.ndarray:
     return mean
 
 
+def _h5_dataset(group, name):
+    """Fetch a dataset from an h5 file, tolerating the deepdish layout
+    (datasets at the root, or under a '/data' group)."""
+    if name in group:
+        return np.asarray(group[name])
+    if "data" in group and name in group["data"]:
+        return np.asarray(group["data"][name])
+    raise KeyError(
+        f"mean-omega file is missing dataset '{name}' "
+        f"(available: {list(group.keys())})"
+    )
+
+
+def load_mean_omega(path: str) -> np.ndarray:
+    """Mean Omega (1, 85) from ``neutral_smpl_meanwjoints.h5`` (or an npz
+    conversion with the same 'pose'/'shape' keys).
+
+    Applies the reference's overrides exactly (tester.py:118-141 /
+    trainer_sequence_fc.py:447-479): cam=[0.9, 0, 0]; global rotation
+    zeroed then pose[0]=pi so the mean projects upright.
+    """
+    if path.endswith((".h5", ".hdf5")):
+        import h5py
+
+        with h5py.File(path, "r") as f:
+            pose = _h5_dataset(f, "pose").reshape(72).astype(np.float64)
+            shape = _h5_dataset(f, "shape").reshape(10).astype(np.float64)
+    else:
+        data = np.load(path)
+        pose = np.asarray(data["pose"]).reshape(72).astype(np.float64)
+        shape = np.asarray(data["shape"]).reshape(10).astype(np.float64)
+
+    cams = np.array([0.9, 0.0, 0.0])
+    pose[:3] = 0.0
+    pose[0] = np.pi
+    return np.hstack((cams, pose, shape))[None].astype(np.float32)
+
+
+def resolve_mean_omega(path: Optional[str]) -> np.ndarray:
+    """load_mean_omega when `path` exists, else the zeros fallback."""
+    import os
+
+    if path and os.path.exists(path):
+        return load_mean_omega(path)
+    return default_mean_omega()
+
+
 class HmmrOutputs(NamedTuple):
     """All prediction heads for one (B, T) window.
 
@@ -80,6 +127,10 @@ class HmmrModel(nn.Module):
     use_delta_from_pred: bool = True
     include_resnet: bool = False   # False = precomputed-phi mode (default)
     feature_dim: int = 2048
+    # Initial value of the trainable mean_param; None -> zeros fallback.
+    # Wire Config.smpl_mean_path through resolve_mean_omega to set this
+    # (reference: load_mean_omega, trainer_sequence_fc.py:447-479).
+    mean_omega_init: Optional[np.ndarray] = None
 
     @property
     def fov(self) -> int:
@@ -102,8 +153,15 @@ class HmmrModel(nn.Module):
             key = f"past{abs(dt)}" if dt < 0 else f"future{dt}"
             deltas[key] = IefRegressor(num_output=72)
         self.ief_delta = deltas
+        mean_init = (
+            default_mean_omega()
+            if self.mean_omega_init is None
+            else np.asarray(self.mean_omega_init, np.float32).reshape(
+                1, OMEGA_DIM
+            )
+        )
         self.mean_param = self.param(
-            "mean_param", lambda rng: jnp.asarray(default_mean_omega())
+            "mean_param", lambda rng: jnp.asarray(mean_init)
         )
 
     def encode_images(self, images: jax.Array, train: bool = False):

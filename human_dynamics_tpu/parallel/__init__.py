@@ -3,3 +3,7 @@ from human_dynamics_tpu.parallel.mesh import (
     shard_batch,
     replicate,
 )
+from human_dynamics_tpu.parallel.multihost import (
+    initialize as initialize_multihost,
+    process_env,
+)

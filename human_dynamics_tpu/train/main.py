@@ -77,7 +77,14 @@ def main(argv=None):
 
     smpl = load_smpl_model(config.smpl_model_path, joint_type="cocoplus")
 
-    pipeline = TrainDataPipeline(config)
+    # Multi-host: each process reads a disjoint shard subset
+    # (parallel/multihost.py); single-process runs get (0, 1).
+    from human_dynamics_tpu.parallel.multihost import initialize
+
+    host_id, num_hosts = initialize()
+    pipeline = TrainDataPipeline(
+        config, host_id=host_id, num_hosts=num_hosts
+    )
 
     import jax.numpy as jnp
 
@@ -89,7 +96,17 @@ def main(argv=None):
     trainer = Trainer(
         config, smpl, data_iter=device_batches(), logger=logger
     )
-    if config.pretrained_model_path and int(trainer.state.step) == 0:
+    # Warm-start gate per use_pretrained (trainer_sequence_fc.py:426-445):
+    # fresh run + pretrained path given; in precomputed-phi mode only when
+    # use_hmr_ief_init (the warm start then carries the HMR IEF weights).
+    warm_start_ok = (
+        not config.precomputed_phi or config.use_hmr_ief_init
+    )
+    if (
+        config.pretrained_model_path
+        and int(trainer.state.step) == 0
+        and warm_start_ok
+    ):
         trainer.load_pretrained(config.pretrained_model_path)
 
     num_steps = args.num_steps or config.max_iteration

@@ -37,7 +37,7 @@ import optax
 
 from human_dynamics_tpu.core.smpl import SmplModel
 from human_dynamics_tpu.models.discriminator import PoseDiscriminator
-from human_dynamics_tpu.models.hmmr import HmmrModel
+from human_dynamics_tpu.models.hmmr import HmmrModel, resolve_mean_omega
 from human_dynamics_tpu.models.omega import (
     OmegaGt,
     compute_smpl,
@@ -111,6 +111,7 @@ def build_models(config: Config) -> Tuple[HmmrModel, PoseDiscriminator]:
         use_delta_from_pred=config.use_delta_from_pred,
         include_resnet=not config.precomputed_phi,
         feature_dim=config.feature_dim,
+        mean_omega_init=resolve_mean_omega(config.smpl_mean_path),
     )
     disc = PoseDiscriminator()
     return hmmr, disc
@@ -133,14 +134,33 @@ def create_train_state(
     params_d = disc.init(rng_d, jnp.zeros((2, 23, 9)))
 
     tx_e, tx_d = make_optimizers(config)
+    trainable_e, _ = split_frozen_params(config, params_e["params"])
     state = TrainState(
         params_e=params_e,
         params_d=params_d,
-        opt_state_e=tx_e.init(params_e["params"]),
+        opt_state_e=tx_e.init(trainable_e),
         opt_state_d=tx_d.init(params_d["params"]),
         step=jnp.zeros((), jnp.int32),
     )
     return state, hmmr, disc
+
+
+def split_frozen_params(config: Config, params_e: dict):
+    """(trainable, frozen) split of the encoder params under freeze_phi.
+
+    The reference excludes resnet vars from the E optimizer's var list
+    (get_unfrozen_E_vars, trainer_sequence_fc.py:681-685); here the
+    frozen subtree is also excluded from differentiation, so the step
+    computes no resnet weight grads and Adam allocates no moments for
+    them.
+    """
+    if config.freeze_phi and "resnet_v2_50" in params_e:
+        frozen = {"resnet_v2_50": params_e["resnet_v2_50"]}
+        trainable = {
+            k: v for k, v in params_e.items() if k != "resnet_v2_50"
+        }
+        return trainable, frozen
+    return params_e, {}
 
 
 def make_optimizers(config: Config):
@@ -210,6 +230,7 @@ def compute_losses(
     losses: Dict[str, jax.Array] = {}
     fake_poses = []
     fake_shapes = []
+    static_mode = config.use_hmr_only and not config.do_hallucinate
 
     def head_3d_losses(idx, dt):
         s_gt, s_pr = _delta_slices(dt)
@@ -257,7 +278,10 @@ def compute_losses(
             lp = ls = lj = jnp.zeros(())
 
         suffix = {
-            ("pred", True): "",
+            # HMR-only ablation without hallucination is the reference's
+            # "static" path: same math, loss keys named *_static
+            # (compute_losses_static, trainer_sequence_fc.py:955-988).
+            ("pred", True): "_static" if static_mode else "",
             ("hal", True): "_hal",
         }.get((kind, dt == 0))
         if suffix is None:
@@ -271,8 +295,12 @@ def compute_losses(
         acc("e_joints" + suffix, lj)
         acc("e_smpl" + suffix, lp + ls)
 
-    # Beta smoothness on the present head (trainer_sequence_fc.py:827-830).
-    losses["e_const"] = L.beta_smoothness_loss(split_omega(out.omega_pred)[2])
+    # Beta smoothness on the present head (trainer_sequence_fc.py:827-830);
+    # the static path has no temporal const loss (compute_losses_static).
+    if not static_mode:
+        losses["e_const"] = L.beta_smoothness_loss(
+            split_omega(out.omega_pred)[2]
+        )
 
     # Hallucination feature-matching loss.
     if out.hal_strip is not None:
@@ -359,8 +387,18 @@ def train_step(
 
     dropout_rng = jax.random.fold_in(rng, state.step)
 
+    # freeze_phi: the resnet is excluded from the differentiated E
+    # params entirely (get_unfrozen_E_vars, trainer_sequence_fc.py:
+    # 681-685) — no resnet weight grads are computed and the Adam state
+    # carries no moments for the ~23M frozen params.
+    trainable_e, frozen_e = split_frozen_params(
+        config, state.params_e["params"]
+    )
+
     def total_loss(params_e_trainable, params_d_trainable):
-        params_e = {**state.params_e, "params": params_e_trainable}
+        params_e = {
+            **state.params_e, "params": {**params_e_trainable, **frozen_e}
+        }
         params_d = {**state.params_d, "params": params_d_trainable}
         e_loss, d_loss, metrics = compute_losses(
             config, hmmr, disc, smpl, params_e, params_d, batch,
@@ -370,23 +408,15 @@ def train_step(
 
     grads, metrics = jax.grad(
         total_loss, argnums=(0, 1), has_aux=True
-    )(state.params_e["params"], state.params_d["params"])
+    )(trainable_e, state.params_d["params"])
     grads_e, grads_d = grads
 
-    # freeze_phi: the resnet is excluded from encoder updates
-    # (get_unfrozen_E_vars, trainer_sequence_fc.py:681-685).
-    if config.freeze_phi and "resnet_v2_50" in grads_e:
-        grads_e = {
-            **grads_e,
-            "resnet_v2_50": jax.tree_util.tree_map(
-                jnp.zeros_like, grads_e["resnet_v2_50"]
-            ),
-        }
-
     updates_e, new_opt_e = tx_e.update(
-        grads_e, state.opt_state_e, state.params_e["params"]
+        grads_e, state.opt_state_e, trainable_e
     )
-    new_params_e = optax.apply_updates(state.params_e["params"], updates_e)
+    new_params_e = {
+        **optax.apply_updates(trainable_e, updates_e), **frozen_e
+    }
     updates_d, new_opt_d = tx_d.update(
         grads_d, state.opt_state_d, state.params_d["params"]
     )
@@ -501,11 +531,20 @@ class Trainer:
         else:
             hmmr_vars, disc_vars = loaded, None
 
-        def merge(dst, src):
+        skipped = []
+
+        def merge(dst, src, prefix=""):
+            # Only overwrite variables the model actually has — the
+            # reference restores by explicit var list, so e.g. resnet
+            # vars in an HMR ckpt are ignored in precomputed-phi mode
+            # (trainer_sequence_fc.py:360-390). Adding keys here would
+            # also desync params_e from the already-built opt_state tree.
             out = dict(dst)
             for k, v in src.items():
-                if isinstance(v, dict) and isinstance(out.get(k), dict):
-                    out[k] = merge(out[k], v)
+                if k not in out:
+                    skipped.append(prefix + k)
+                elif isinstance(v, dict) and isinstance(out[k], dict):
+                    out[k] = merge(out[k], v, prefix + k + "/")
                 else:
                     out[k] = jnp.asarray(v)
             return out
@@ -518,6 +557,11 @@ class Trainer:
         self.state = self.state._replace(
             params_e=params_e, params_d=params_d
         )
+        if skipped:
+            print(
+                f"load_pretrained: ignored {len(skipped)} vars absent "
+                f"from the model (e.g. {skipped[0]})"
+            )
 
     # ------------------------------------------------------------------
     # Rendered prediction summaries (visualize/visualize_strip,

@@ -152,3 +152,11 @@ def test_freeze_phi_keeps_resnet_fixed(image_data_dir):
         trainer.state.params_e["params"]["single_view_ief"]["fc1"]["kernel"]
     )
     assert not np.allclose(ief_before, ief_after)
+    # Frozen params are excluded from the optimizer entirely: no Adam
+    # moments for the resnet subtree (masked-var-list semantics).
+    opt_leaves = jax.tree_util.tree_leaves_with_path(
+        trainer.state.opt_state_e
+    )
+    assert opt_leaves, "optimizer state unexpectedly empty"
+    for path, _ in opt_leaves:
+        assert "resnet_v2_50" not in jax.tree_util.keystr(path)

@@ -7,6 +7,7 @@ single-jitted-program predictor.
 """
 
 import json
+import os
 
 import numpy as np
 import jax
@@ -281,3 +282,67 @@ def test_get_labels_poseflow(tmp_path):
     assert sum(k is not None for k in tracks[1]) == 23
     assert tracks[1][0] is None and tracks[1][5] is not None
     assert tracks[0][0].shape == (25, 3)
+
+
+# ---------------------------------------------------------------------------
+# Track-extraction subprocess contract (stub AlphaPose/PoseFlow)
+# ---------------------------------------------------------------------------
+
+def test_compute_tracks_with_stub_trackers(tmp_path):
+    """Drives compute_tracks end-to-end with stub tracker scripts so the
+    subprocess contract (arg names, output paths, idempotency) is actually
+    exercised (reference: extract_tracks.py:63-150)."""
+    from human_dynamics_tpu.infer.extract_tracks import (
+        TRACKED_JSON, compute_tracks)
+
+    out_dir = tmp_path / "out"
+    # Pre-seed frames so dump_frames (idempotent) skips the video decode.
+    img_dir = out_dir / "video_frames"
+    img_dir.mkdir(parents=True)
+    (img_dir / "frame0000000001.png").write_bytes(b"png")
+
+    alphapose_dir = tmp_path / "AlphaPose"
+    alphapose_dir.mkdir()
+    (alphapose_dir / "demo.py").write_text(
+        "import argparse, json, os\n"
+        "p = argparse.ArgumentParser()\n"
+        "p.add_argument('--indir'); p.add_argument('--outdir')\n"
+        "p.add_argument('--sp', action='store_true')\n"
+        "p.add_argument('--format')\n"
+        "a = p.parse_args()\n"
+        "assert os.path.isdir(a.indir)\n"
+        "open(os.path.join(a.outdir, 'alphapose-results.json'), 'w')"
+        ".write(json.dumps({'frame0000000001.png': []}))\n"
+    )
+    poseflow_dir = tmp_path / "PoseFlow"
+    poseflow_dir.mkdir()
+    (poseflow_dir / "tracker-general.py").write_text(
+        "import argparse, json, os\n"
+        "p = argparse.ArgumentParser()\n"
+        "p.add_argument('--imgdir'); p.add_argument('--in_json')\n"
+        "p.add_argument('--out_json')\n"
+        "a = p.parse_args()\n"
+        "assert os.path.exists(a.in_json)\n"
+        "assert a.out_json.endswith('-tracked.json')\n"
+        "open(a.out_json, 'w').write(json.dumps(\n"
+        "    {'frame0000000001.png': [{'keypoints': [1.0, 2.0, 0.9] * 25,"
+        " 'idx': 0}]}))\n"
+    )
+
+    tracked, frames = compute_tracks(
+        str(tmp_path / "missing.mp4"), str(out_dir),
+        alphapose_dir=str(alphapose_dir), poseflow_dir=str(poseflow_dir))
+    assert os.path.basename(tracked) == TRACKED_JSON
+    assert os.path.exists(tracked)
+    assert frames == str(img_dir)
+    # The tracked json is consumable by the demo's track reader.
+    tracks = get_labels_poseflow(tracked, num_frames=1, min_kp_count=0)
+    assert len(tracks) == 1 and tracks[0][0].shape == (25, 3)
+
+    # Idempotent: wipe the stubs; a second call must not shell out.
+    (alphapose_dir / "demo.py").unlink()
+    (poseflow_dir / "tracker-general.py").unlink()
+    tracked2, _ = compute_tracks(
+        str(tmp_path / "missing.mp4"), str(out_dir),
+        alphapose_dir=str(alphapose_dir), poseflow_dir=str(poseflow_dir))
+    assert tracked2 == tracked

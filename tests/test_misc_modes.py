@@ -32,6 +32,11 @@ def test_hmr_only_train_step():
     assert np.isfinite(float(m["e_loss"]))
     assert "e_kp_dt_future" not in m
     assert "e_hallucinate" not in m
+    # The static path keeps the reference's loss naming
+    # (compute_losses_static, trainer_sequence_fc.py:955-988) and has no
+    # temporal beta-const loss.
+    assert "e_kp_static" in m and "e_joints_static" in m
+    assert "e_kp" not in m and "e_const" not in m
 
 
 def test_hal_vs_const_eval():
@@ -220,3 +225,45 @@ def test_predictor_hal_mode():
     assert o_hal["omegas_delta"].shape == (30, 2, 85)
     # Different branches -> different outputs (same shapes).
     assert not np.allclose(o_hal["omegas"], o_pred["omegas"])
+
+
+def test_restore_model_config(tmp_path):
+    """Eval-time restore of the training run's architecture from
+    params.json (restore_config semantics, eval.py:93-111)."""
+    import json
+
+    from human_dynamics_tpu.eval.harness import restore_model_config
+
+    ckpt_dir = tmp_path / "run1"
+    ckpt_dir.mkdir()
+    (ckpt_dir / "params.json").write_text(json.dumps({
+        "batch_size": 16, "T": 30, "load_path": "/x",  # ignored keys
+        "num_conv_layers": 2, "predict_delta": False,
+        "delta_t_values": [-3, 3], "do_hallucinate": False,
+    }))
+    kwargs = restore_model_config(str(ckpt_dir / "ckpt.npz"))
+    assert kwargs == {
+        "num_conv_layers": 2, "predict_delta": False,
+        "delta_t_values": (-3, 3), "do_hallucinate": False,
+    }
+    # batch/T/paths never leak into model kwargs.
+    assert "batch_size" not in kwargs and "T" not in kwargs
+    # No params.json anywhere -> no overrides.
+    assert restore_model_config(str(tmp_path / "lost" / "c.npz")) == {}
+
+
+def test_evaluator_cache_key_includes_model_tag(tmp_path):
+    """Different checkpoints into the same out_dir must not share pred
+    caches (reference path schema: prediction.py:22-102)."""
+    from human_dynamics_tpu.eval.harness import Evaluator
+
+    class FakePredictor:
+        seq_length = 20
+        smpl = None
+
+    ev_a = Evaluator(FakePredictor(), str(tmp_path), model_tag="ckpt_a")
+    ev_b = Evaluator(FakePredictor(), str(tmp_path), model_tag="ckpt_b")
+    pa = ev_a._cache_path("preds", "3dpw", "rec0", 0)
+    pb = ev_b._cache_path("preds", "3dpw", "rec0", 0)
+    assert pa != pb
+    assert "ckpt_a_T20" in pa and "ckpt_b_T20" in pb

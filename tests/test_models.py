@@ -204,3 +204,58 @@ def test_hmmr_rejects_images_without_resnet():
     variables = model.init(jax.random.PRNGKey(0), phi)
     with pytest.raises(ValueError):
         model.apply(variables, jnp.zeros((1, 2, 8, 8, 3)))
+
+
+def test_load_mean_omega_h5_and_npz(tmp_path):
+    """Mean-omega loading applies the reference's overrides exactly
+    (tester.py:118-141): cam=[0.9,0,0], pose[:3]=0 then pose[0]=pi."""
+    import h5py
+
+    from human_dynamics_tpu.models.hmmr import (
+        load_mean_omega, resolve_mean_omega)
+
+    rng = np.random.RandomState(3)
+    pose = rng.randn(72).astype(np.float64)
+    shape = rng.randn(10).astype(np.float64)
+
+    h5_path = tmp_path / "neutral_smpl_meanwjoints.h5"
+    with h5py.File(h5_path, "w") as f:
+        f["pose"] = pose
+        f["shape"] = shape
+    npz_path = tmp_path / "mean.npz"
+    np.savez(npz_path, pose=pose, shape=shape)
+
+    for p in (str(h5_path), str(npz_path)):
+        mean = load_mean_omega(p)
+        assert mean.shape == (1, 85) and mean.dtype == np.float32
+        np.testing.assert_allclose(mean[0, :3], [0.9, 0, 0])
+        np.testing.assert_allclose(mean[0, 3:6], [np.pi, 0, 0])
+        np.testing.assert_allclose(mean[0, 6:75], pose[3:], rtol=1e-6)
+        np.testing.assert_allclose(mean[0, 75:], shape, rtol=1e-6)
+
+    # Missing path falls back to the zeros-variant.
+    fallback = resolve_mean_omega(str(tmp_path / "nope.h5"))
+    assert fallback[0, 0] == np.float32(0.9) and fallback[0, 3] > 3
+
+
+def test_hmmr_initializes_mean_param_from_file(tmp_path):
+    """Config.smpl_mean_path is actually consumed: a trainer-built model
+    starts its trainable mean_param at the file's value."""
+    import h5py
+    import jax
+
+    from human_dynamics_tpu.models.hmmr import resolve_mean_omega
+    from human_dynamics_tpu.models.hmmr import HmmrModel
+
+    rng = np.random.RandomState(4)
+    h5_path = tmp_path / "mean.h5"
+    with h5py.File(h5_path, "w") as f:
+        f["pose"] = rng.randn(72)
+        f["shape"] = rng.randn(10)
+
+    mean = resolve_mean_omega(str(h5_path))
+    model = HmmrModel(mean_omega_init=mean)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 20, 2048)))
+    np.testing.assert_allclose(
+        np.asarray(variables["params"]["mean_param"]), mean, rtol=1e-6)
