@@ -40,6 +40,19 @@ def _next_pow2(x: int) -> int:
     return 1 << max(0, (x - 1)).bit_length()
 
 
+def _bucket(x: int) -> int:
+    """Smallest of {2^k, 3*2^k} >= x.
+
+    Compile-count bucketing for chunk/window counts: assorted video
+    lengths share a small set of compiled programs while bounding padded
+    compute waste to < 50% (pure powers of two waste up to 100%).
+    """
+    p = _next_pow2(x)
+    if p >= 4 and 3 * (p // 4) >= x:
+        return 3 * (p // 4)
+    return p
+
+
 class HmmrPredictor:
     """Holds (model, params, smpl) and runs windowed prediction.
 
@@ -63,6 +76,9 @@ class HmmrPredictor:
         pred_mode: str = "pred",
         use_fused_smpl: bool = False,
         bf16_encoder: bool = False,
+        bf16_temporal: bool = False,
+        groups_per_step: int = 8,
+        encode_chunk: int = 120,
     ):
         if pred_mode not in ("pred", "hal"):
             raise ValueError(f"Pred mode {pred_mode!r} not recognized")
@@ -76,8 +92,20 @@ class HmmrPredictor:
         # bf16 ResNet inference: ~2x encoder throughput at ~2e-3 relative
         # phi deviation; keep False where checkpoint bit-parity matters.
         self.bf16_encoder = bf16_encoder
-        # 128-frame encoder chunks measured fastest end-to-end on v5e.
-        self.encode_chunk = 128
+        # bf16 temporal encoder + IEF heads (the non-resnet matmuls of the
+        # window tail; GroupNorm stats stay fp32 inside flax). Omegas are
+        # cast back to fp32 before SMPL decode. Same accuracy caveat.
+        self.bf16_temporal = bf16_temporal
+        # Frames per encoder step inside the fused program. 120 (= 8*15,
+        # MXU-friendly) measured as fast as 128 on v5e and divides common
+        # clip lengths with less padding waste.
+        self.encode_chunk = encode_chunk
+        # Window groups are flattened into the batch dimension and
+        # processed `groups_per_step` at a time: big batched matmuls and
+        # few kernel launches (the per-group lax.map was latency-bound),
+        # while bounding peak memory for very long clips (SMPL decode of
+        # groups_per_step*B*g frames x heads at once).
+        self.groups_per_step = groups_per_step
         self.delta_ts = tuple(sorted(model.delta_t_values))
 
     # ------------------------------------------------------------------
@@ -134,25 +162,53 @@ class HmmrPredictor:
     ):
         """Process the window groups in ``group_ids`` (the sharded entry
         point maps a per-device slice of groups over a replicated
-        feature buffer)."""
+        feature buffer).
+
+        Groups are flattened into the batch dimension, up to
+        ``groups_per_step`` at a time: one gather builds all windows, one
+        model.apply + one stacked SMPL call decode them. Returns a dict
+        of (num_groups, B, g, ...) arrays.
+        """
         b = self.batch_size
         t = self.seq_length
         margin = (self.model.fov - 1) // 2
         g = t - 2 * margin
+        n_groups = group_ids.shape[0]
 
-        def one_group(group_idx):
-            # Gather B windows of T frames at starts (group*B + j) * g.
-            base = group_idx * b * g
-            windows = jnp.stack(
-                [
-                    jax.lax.dynamic_slice_in_dim(
-                        phi_padded, base + j * g, t, axis=0
-                    )
-                    for j in range(b)
-                ]
-            )  # (B, T, 2048)
+        def run_groups(ids):
+            """ids (S,) -> dict of (S, B, g, ...)."""
+            s = ids.shape[0]
+            # Window w starts at frame w*g of the padded buffer; one
+            # gather builds all S*B windows of T frames.
+            win = (ids[:, None] * b + jnp.arange(b)[None]).reshape(-1)
+            idx = win[:, None] * g + jnp.arange(t)[None]   # (S*B, T)
+            windows = phi_padded[idx]                       # (S*B, T, C)
 
-            out = self.model.apply(variables, windows, train=False)
+            apply_vars = variables
+            if self.bf16_temporal:
+                apply_vars = jax.tree_util.tree_map(
+                    lambda x: x.astype(jnp.bfloat16)
+                    if x.dtype == jnp.float32 else x,
+                    variables,
+                )
+                windows = windows.astype(jnp.bfloat16)
+            out = self.model.apply(apply_vars, windows, train=False)
+            if self.bf16_temporal:
+                to_f32 = lambda v: v.astype(jnp.float32)
+                out = out._replace(
+                    omega_pred=to_f32(out.omega_pred),
+                    omegas_delta={
+                        k: to_f32(v) for k, v in out.omegas_delta.items()
+                    },
+                    omega_hal=(
+                        None if out.omega_hal is None
+                        else to_f32(out.omega_hal)
+                    ),
+                    omegas_hal_delta={
+                        k: to_f32(v)
+                        for k, v in out.omegas_hal_delta.items()
+                    },
+                )
             if self.pred_mode == "hal":
                 present = out.omega_hal
                 deltas = out.omegas_hal_delta
@@ -168,8 +224,8 @@ class HmmrPredictor:
             # One stacked SMPL call for all heads (present + D deltas).
             head_list = [present] + [deltas[dt] for dt in self.delta_ts
                                      if dt in deltas]
-            stacked = jnp.stack(head_list)            # (H, B, g, 85)
-            cams_present = split_omega(present)[0]    # (B, g, 3)
+            stacked = jnp.stack(head_list)            # (H, S*B, g, 85)
+            cams_present = split_omega(present)[0]    # (S*B, g, 3)
             # Deltas are projected with the PRESENT camera
             # (tester.py:208-213 set_cams + omega.py:282-289 test branch).
             cams_all = jnp.broadcast_to(
@@ -181,13 +237,13 @@ class HmmrPredictor:
             )
 
             def head_dict(i, suffix=""):
-                c, p, s = split_omega(stacked[i])
+                c, p, sh = split_omega(stacked[i])
                 return {
                     "cams" + suffix: cams_all[i],
                     "joints" + suffix: sm.joints[i],
                     "kps" + suffix: sm.kps[i],
                     "poses" + suffix: sm.poses_rot[i],
-                    "shapes" + suffix: s,
+                    "shapes" + suffix: sh,
                     "verts" + suffix: sm.verts[i],
                     "omegas" + suffix: stacked[i],
                 }
@@ -204,12 +260,30 @@ class HmmrPredictor:
                     for k in ("cams", "joints", "kps", "poses", "shapes",
                               "verts", "omegas"):
                         delta_stack[k + "_delta"].append(hd[k])
-                # (B, g, D, ...) per tester.py:252-254 stack axis=2.
+                # (S*B, g, D, ...) per tester.py:252-254 stack axis=2.
                 for k, v in delta_stack.items():
                     result[k] = jnp.stack(v, axis=2)
-            return result
+            # (S*B, g, ...) -> (S, B, g, ...).
+            return {
+                k: v.reshape((s, b) + v.shape[1:])
+                for k, v in result.items()
+            }
 
-        return jax.lax.map(one_group, group_ids)
+        step = min(self.groups_per_step, n_groups)
+        if n_groups % step != 0:
+            # group counts are power-of-2 bucketed; a non-divisible count
+            # only happens for exotic configs — fall back to one step.
+            step = n_groups
+        if n_groups == step:
+            return run_groups(group_ids)
+        mapped = jax.lax.map(
+            run_groups, group_ids.reshape(n_groups // step, step)
+        )
+        # (R, S, B, g, ...) -> (R*S, B, g, ...).
+        return {
+            k: v.reshape((n_groups,) + v.shape[2:])
+            for k, v in mapped.items()
+        }
 
     # ------------------------------------------------------------------
     # Multi-chip data-parallel windowed inference
@@ -355,7 +429,7 @@ class HmmrPredictor:
             n_chunks = int(np.ceil(n / chunk))
             # Bucket the chunk count (powers of two) so assorted video
             # lengths share compiled programs.
-            n_chunks = _next_pow2(n_chunks)
+            n_chunks = _bucket(n_chunks)
             frames = jnp.asarray(frames, jnp.float32)
             inputs = jnp.pad(
                 frames, [(0, n_chunks * chunk - n)] + [(0, 0)] * 3
@@ -370,7 +444,7 @@ class HmmrPredictor:
             seq_length=self.seq_length,
             fov=self.model.fov,
         )
-        count = _next_pow2(sched.count)
+        count = _bucket(sched.count)
         out = self._predict_fused(
             self.variables, inputs, n, count, image_mode
         )

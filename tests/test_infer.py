@@ -198,6 +198,73 @@ def test_predictor_rejects_bad_pred_mode():
         HmmrPredictor(FakeHmmrModel(), None, smpl, pred_mode="nope")
 
 
+def test_bucket_values():
+    from human_dynamics_tpu.infer.predictor import _bucket
+
+    for x, want in [(1, 1), (2, 2), (3, 3), (4, 4), (5, 6), (6, 6),
+                    (7, 8), (8, 8), (9, 12), (12, 12), (13, 16),
+                    (17, 24), (25, 32)]:
+        assert _bucket(x) == want, x
+    for x in range(1, 200):
+        assert _bucket(x) >= x
+        assert _bucket(x) < 1.5 * x + 1  # waste bound
+
+
+def test_groups_per_step_chunking_matches_single_batch():
+    """Many window groups split into groups_per_step super-chunks must
+    equal processing them in one batch (and the reference loop)."""
+    smpl = synthetic_smpl_model(num_verts=48, num_kps=19)
+    model = FakeHmmrModel()
+    b, t = 2, 20
+    n = 130  # count = ceil(130/16) = 9 -> bucket 12 groups
+    phi = RNG.randn(n, 160).astype(np.float32) * 0.5
+
+    outs = {}
+    for gps in (2, 12):
+        pred = HmmrPredictor(
+            model, variables=None, smpl=smpl, batch_size=b,
+            seq_length=t, groups_per_step=gps,
+        )
+        outs[gps] = pred.predict_all_images(phi)
+    for k in outs[2]:
+        np.testing.assert_allclose(
+            outs[2][k], outs[12][k], atol=1e-6, err_msg=k
+        )
+    want = reference_predict_all_images(model, smpl, phi, b, t)
+    for k in sorted(want):
+        np.testing.assert_allclose(
+            outs[2][k], want[k], atol=2e-5, err_msg=k
+        )
+
+
+def test_bf16_temporal_close_to_fp32():
+    """The opt-in bf16 window tail must stay within bf16 tolerance of
+    the fp32 path (omegas are cast back to fp32 before SMPL)."""
+    from human_dynamics_tpu.models import HmmrModel
+
+    model = HmmrModel(include_resnet=False)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, 2048)))
+    smpl = synthetic_smpl_model(num_verts=48, num_kps=19)
+    phi = RNG.randn(40, 2048).astype(np.float32) * 0.1
+
+    out32 = HmmrPredictor(
+        model, variables, smpl, batch_size=2, seq_length=20,
+    ).predict_all_images(phi)
+    out16 = HmmrPredictor(
+        model, variables, smpl, batch_size=2, seq_length=20,
+        bf16_temporal=True,
+    ).predict_all_images(phi)
+    assert out16["omegas"].dtype == np.float32
+    # Omegas start near mean_param (small IEF outputs); absolute bf16
+    # deviation stays well under typical pose magnitudes.
+    d = np.abs(out32["omegas"] - out16["omegas"]).max()
+    assert d < 0.05, d
+    # Delta-head cams track the (bf16-rounded) present cams.
+    np.testing.assert_allclose(
+        out16["cams_delta"][:, 0], out16["cams"], atol=1e-6
+    )
+
+
 # ---------------------------------------------------------------------------
 # Host-side preprocessing
 # ---------------------------------------------------------------------------
