@@ -1,6 +1,8 @@
 from human_dynamics_tpu.parallel.mesh import (
     make_mesh,
+    make_mesh_2d,
     shard_batch,
+    shard_batch_2d,
     replicate,
 )
 from human_dynamics_tpu.parallel.multihost import (

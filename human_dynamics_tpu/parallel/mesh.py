@@ -6,8 +6,15 @@ design:
 
 - data parallelism: batch axis sharded over a 1-D ``data`` mesh axis;
   parameters replicated; XLA/GSPMD inserts the gradient psum.
+- 2-D (data x time) training: batch over ``data`` AND the T axis of the
+  per-frame tensors over ``time``. GSPMD partitions the temporal convs
+  spatially (halo exchange over ICI), makes GroupNorm/loss reductions
+  global, and all-reduces grads over both axes — the step function is
+  unchanged; only the input shardings differ (the scaling-book recipe:
+  annotate shardings, let XLA insert collectives).
 - temporal halo sharding for long-clip inference lives in
-  parallel/halo.py.
+  parallel/halo.py (manual ppermute halos, for the inference path where
+  we also shard a *single* clip's frames).
 """
 
 from __future__ import annotations
@@ -47,3 +54,59 @@ def replicate(tree, mesh: Mesh):
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), tree
     )
+
+
+def make_mesh_2d(
+    data_size: int,
+    time_size: int,
+    devices: Optional[Sequence] = None,
+    axis_names: Sequence[str] = ("data", "time"),
+) -> Mesh:
+    """(data_size x time_size) mesh. Lay ``time`` innermost so the
+    per-step halo exchanges of the temporal convs ride neighboring
+    devices (ICI) while gradient all-reduce spans the outer axis."""
+    if devices is None:
+        devices = jax.devices()
+    n = data_size * time_size
+    if len(devices) < n:
+        raise ValueError(
+            f"need {n} devices for a {data_size}x{time_size} mesh, "
+            f"have {len(devices)}"
+        )
+    grid = np.array(devices[:n]).reshape(data_size, time_size)
+    return Mesh(grid, tuple(axis_names))
+
+
+def shard_batch_2d(
+    batch,
+    mesh: Mesh,
+    data_axis: str = "data",
+    time_axis: str = "time",
+):
+    """Shard a train Batch over (data x time).
+
+    Per-frame tensors (phis/kps/poses_gt/joints_gt: (B, T, ...)) shard
+    batch over ``data`` and time over ``time``; per-tube tensors
+    ((B, ...)) shard over ``data`` only; the mocap real pool is
+    replicated (its pool axis is tied to the fake-pool contract, not B).
+    T must divide the time-axis size.
+    """
+    time_sharded = {"phis", "kps", "poses_gt", "joints_gt"}
+    data_sharded = {"shapes_gt", "has_3d_joints", "has_3d_smpl"}
+
+    t_dev = mesh.shape[time_axis]
+    out = {}
+    for name, x in batch._asdict().items():
+        if name in time_sharded:
+            if x.shape[1] % t_dev != 0:
+                raise ValueError(
+                    f"{name}: T={x.shape[1]} not divisible by "
+                    f"time mesh axis {t_dev}"
+                )
+            spec = P(data_axis, time_axis)
+        elif name in data_sharded:
+            spec = P(data_axis)
+        else:
+            spec = P()
+        out[name] = jax.device_put(x, NamedSharding(mesh, spec))
+    return type(batch)(**out)

@@ -1,0 +1,218 @@
+"""Training-stability run on learnable synthetic data (GAN dynamics).
+
+The reference community knows the HMMR adversarial prior can drift over
+long runs (SURVEY.md §7 hard part 5); the reference itself relies on
+visual monitoring (doc/train.md:83-85). This script is the automated
+equivalent: thousands of full train steps (E+D simultaneous updates,
+all heads, hallucinator, delta supervision) on SELF-CONSISTENT synthetic
+data where every loss is actually learnable:
+
+- per-tube SMPL pose trajectories are bounded random walks; shape is
+  per-tube; cams jitter around [0.9, 0, 0];
+- gt 3D joints / 2D keypoints are computed from a synthetic SMPL model
+  (real kinematic tree) and orthographic projection of those poses;
+- phi is a FIXED random 2-layer MLP of (pose, shape, cam) plus noise, so
+  the encoder stack can in principle invert it;
+- the mocap "real" pool for the discriminator is drawn from the same
+  pose distribution, giving D a non-degenerate task.
+
+Writes tfrecord shards + a synthetic SMPL npz, then drives the real
+training entry (TrainDataPipeline -> Trainer) for --num_steps steps.
+Loss curves land in {model_dir}/metrics.csv; summarize with
+scripts/summarize_stability.py.
+
+Usage:
+    python scripts/stability_run.py --out /tmp/stability --num_steps 5000
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def bounded_walk(rng, n, dim, step, bound):
+    """Reflecting random walk (the reference's bounded_random_walk
+    analogue, data_utils.py:787-835) used for temporally-smooth pose."""
+    steps = rng.randn(n, dim) * step
+    walk = np.cumsum(steps, axis=0)
+    # reflect into [-bound, bound]
+    walk = np.abs((walk + bound) % (4 * bound) - 2 * bound) - bound
+    return walk
+
+
+def make_phi_fn(rng, feature_dim):
+    w0 = rng.randn(85, 256).astype(np.float32) * 0.3
+    w1 = rng.randn(256, feature_dim).astype(np.float32) * 0.3
+
+    def phi_fn(omega):
+        h = np.maximum(omega @ w0, 0.0)
+        return np.tanh(h @ w1)
+
+    return phi_fn
+
+
+def generate_data(out_dir, num_tubes=64, frames_per_tube=120,
+                  feature_dim=2048, num_verts=512, seed=0):
+    import jax.numpy as jnp
+
+    from human_dynamics_tpu.core import synthetic_smpl_model
+    from human_dynamics_tpu.core.smpl import smpl_forward
+    from human_dynamics_tpu.core.projection import orth_proj_idrot
+    from human_dynamics_tpu.data import (
+        TFRecordWriter,
+        convert_to_example_temporal,
+        encode_example,
+    )
+
+    rng = np.random.RandomState(seed)
+    # 25 regressed kps = the cocoplustoesankles regressor of real
+    # training (universal-25 layout; config.num_kps default).
+    smpl = synthetic_smpl_model(num_verts=num_verts, num_kps=25)
+
+    # Persist the synthetic model npz so the Trainer decodes with the
+    # same body model that generated the gt.
+    smpl_path = os.path.join(out_dir, "smpl_synth.npz")
+    np.savez(
+        smpl_path,
+        v_template=np.asarray(smpl.v_template),
+        shapedirs=np.asarray(smpl.shapedirs),
+        posedirs=np.asarray(smpl.posedirs),
+        j_regressor=np.asarray(smpl.j_regressor),
+        lbs_weights=np.asarray(smpl.lbs_weights),
+        cocoplus_regressor=np.asarray(smpl.joint_regressor),
+        parents=np.asarray(smpl.parents),
+        faces=np.asarray(smpl.faces),
+    )
+
+    phi_fn = make_phi_fn(rng, feature_dim)
+
+    data_dir = os.path.join(out_dir, "data")
+    # Two sources drive the split-balanced loader exactly like real
+    # training: an 'h36m'-named 3D dataset (full SMPL + 3D joints gt)
+    # and a 'synth' 2D dataset (keypoints only), each >= 2 shards.
+    dirs = {
+        True: os.path.join(data_dir, "h36m", "train"),
+        False: os.path.join(data_dir, "synth", "train"),
+    }
+    for d in dirs.values():
+        os.makedirs(d, exist_ok=True)
+    mocap_dir = os.path.join(data_dir, "mocap_neutrMosh")
+    os.makedirs(mocap_dir, exist_ok=True)
+
+    tubes_per_shard = 8
+    all_poses = []
+    writers = {}
+    for ti in range(num_tubes):
+        with_3d = ti % 2 == 0
+        si = (ti // 2) // tubes_per_shard
+        if (with_3d, si) not in writers:
+            writers[(with_3d, si)] = TFRecordWriter(os.path.join(
+                dirs[with_3d], f"shard_{si:03d}.tfrecord"
+            ))
+        writer = writers[(with_3d, si)]
+        n = frames_per_tube
+        pose = bounded_walk(rng, n, 72, step=0.03, bound=0.6)
+        pose[:, 0] += np.pi  # upright global rotation, like real data
+        shape = (rng.randn(10) * 0.3).astype(np.float32)
+        cams = np.stack([
+            0.9 + 0.05 * bounded_walk(rng, n, 1, 0.01, 0.1)[:, 0],
+            0.05 * bounded_walk(rng, n, 1, 0.01, 0.1)[:, 0],
+            0.05 * bounded_walk(rng, n, 1, 0.01, 0.1)[:, 0],
+        ], axis=1).astype(np.float32)
+        all_poses.append(pose)
+
+        out = smpl_forward(
+            smpl,
+            jnp.asarray(np.tile(shape, (n, 1)), jnp.float32),
+            jnp.asarray(pose, jnp.float32),
+        )
+        joints25 = np.asarray(out.joints)              # (n, 25, 3)
+        gt3ds = joints25[:, :14]                       # LSP-14
+        kps25 = np.asarray(
+            orth_proj_idrot(jnp.asarray(joints25), jnp.asarray(cams))
+        )                                              # (n, 25, 2), [-1,1]
+        labels = np.zeros((n, 3, 25), np.float32)
+        labels[:, :2] = np.transpose(kps25, (0, 2, 1))
+        labels[:, 2] = 1.0
+
+        omega = np.concatenate([cams, pose, np.tile(shape, (n, 1))],
+                               axis=1).astype(np.float32)
+        phis = phi_fn(omega) + rng.randn(n, feature_dim).astype(
+            np.float32) * 0.01
+
+        writer.write(convert_to_example_temporal(
+            image_datas=None,
+            image_paths=[f"f{i}.png" for i in range(n)],
+            image_shapes=np.full((n, 2), 224),
+            labels=labels,
+            centers=np.full((n, 2), 112, np.int64),
+            gt3ds=gt3ds.astype(np.float32) if with_3d else None,
+            scale_factors=np.ones((n, 2), np.float32),
+            start_pts=np.zeros((n, 2), np.int64),
+            cams=cams if with_3d else None,
+            poses=pose.astype(np.float32) if with_3d else None,
+            shape=shape if with_3d else None,
+            phis=phis,
+        ))
+    for w in writers.values():
+        w.close()
+
+    # Mocap real pool from the same pose distribution.
+    pool = np.concatenate(all_poses, axis=0)
+    rng.shuffle(pool)
+    with TFRecordWriter(
+        os.path.join(mocap_dir, "neutrSMPL_CMU_0.tfrecord")
+    ) as w:
+        for pose in pool[:5000]:
+            w.write(encode_example({
+                "pose": pose.astype(np.float32),
+                "shape": (rng.randn(10) * 0.3).astype(np.float32),
+            }))
+    return data_dir, smpl_path
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/stability")
+    ap.add_argument("--num_steps", type=int, default=5000)
+    ap.add_argument("--num_tubes", type=int, default=64)
+    ap.add_argument("--fused", action="store_true",
+                    help="use the Pallas fused SMPL kernel (TPU)")
+    args = ap.parse_args()
+
+    os.makedirs(args.out, exist_ok=True)
+
+    from human_dynamics_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    data_dir, smpl_path = generate_data(
+        args.out, num_tubes=args.num_tubes
+    )
+    print(f"[*] synthetic data in {data_dir}")
+
+    from human_dynamics_tpu.train.main import main as train_main
+
+    train_main([
+        "--data_dir", data_dir,
+        "--datasets", "synth", "h36m",
+        "--mocap_datasets", "CMU",
+        "--smpl_model_path", smpl_path,
+        "--log_dir", os.path.join(args.out, "logs"),
+        "--do_hallucinate", "true",
+        "--use_fused_smpl", "true" if args.fused else "false",
+        "--log_step", "50",
+        "--save_step", "2000",
+        "--log_img_step", "0",
+        "--num_steps", str(args.num_steps),
+    ])
+
+
+if __name__ == "__main__":
+    main()

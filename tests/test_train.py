@@ -15,7 +15,13 @@ from human_dynamics_tpu.train.trainer import (
     fake_pool_size,
 )
 from human_dynamics_tpu.utils.config import Config
-from human_dynamics_tpu.parallel import make_mesh, shard_batch, replicate
+from human_dynamics_tpu.parallel import (
+    make_mesh,
+    make_mesh_2d,
+    replicate,
+    shard_batch,
+    shard_batch_2d,
+)
 
 RNG = np.random.RandomState(3)
 
@@ -232,3 +238,45 @@ def test_train_step_dp_sharded():
     np.testing.assert_allclose(
         float(metrics["e_loss"]), float(metrics2["e_loss"]), rtol=2e-4
     )
+
+
+def test_train_step_2d_mesh_data_x_time():
+    """The SAME train step over a (4 data x 2 time) mesh: batch sharded
+    over 'data', the T axis of per-frame tensors over 'time'. GSPMD
+    partitions the temporal convs (halo exchange) and globalizes the
+    GroupNorm/loss reductions; losses must match the unsharded step
+    (SURVEY.md §2.3 SP row composed with DP)."""
+    config = tiny_config(batch_size=4)
+    smpl = synthetic_smpl_model(num_verts=32, num_kps=config.num_kps)
+    trainer = Trainer(config, smpl)
+    batch = make_batch(config, smpl)
+
+    mesh = make_mesh_2d(4, 2)
+    sharded_batch = shard_batch_2d(batch, mesh)
+    trainer.state = replicate(trainer.state, mesh)
+    metrics = trainer.step(sharded_batch)
+
+    trainer2 = Trainer(config, smpl)
+    metrics2 = trainer2.step(batch)
+    np.testing.assert_allclose(
+        float(metrics["e_loss"]), float(metrics2["e_loss"]), rtol=2e-4
+    )
+    np.testing.assert_allclose(
+        float(metrics["d_loss"]), float(metrics2["d_loss"]), rtol=2e-4
+    )
+    # A second step keeps states in agreement (grads all-reduced over
+    # both axes identically).
+    m3 = trainer.step(sharded_batch)
+    m4 = trainer2.step(batch)
+    np.testing.assert_allclose(
+        float(m3["e_loss"]), float(m4["e_loss"]), rtol=5e-4
+    )
+
+
+def test_shard_batch_2d_rejects_indivisible_t():
+    config = tiny_config(batch_size=4, T=21)
+    smpl = synthetic_smpl_model(num_verts=32, num_kps=config.num_kps)
+    batch = make_batch(config, smpl)
+    mesh = make_mesh_2d(4, 2)
+    with pytest.raises(ValueError):
+        shard_batch_2d(batch, mesh)
