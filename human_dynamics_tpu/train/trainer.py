@@ -621,6 +621,47 @@ class Trainer:
             panels.append(panel)
         return np.concatenate(panels, axis=1)
 
+    # SMPL joint names for the 23 per-joint discriminator heads
+    # (setup_disc_summary, trainer_sequence_fc.py:770-789).
+    SMPL_JOINT_NAMES = (
+        "Left_Hip", "Right_Hip", "Waist", "Left_Knee", "Right_Knee",
+        "Upper_Waist", "Left_Ankle", "Right_Ankle", "Chest", "Left_Toe",
+        "Right_Toe", "Base_Neck", "Left_Shoulder", "Right_Shoulder",
+        "Upper_Neck", "Left_Arm", "Right_Arm", "Left_Elbow",
+        "Right_Elbow", "Left_Wrist", "Right_Wrist", "Left_Finger",
+        "Right_Finger",
+    )
+
+    def histogram_summary(self, batch: Batch) -> None:
+        """Log beta and per-joint discriminator-output histograms
+        (trainer_sequence_fc.py:724-742,770-789 parity). One extra
+        forward at summary cadence — the hot step stays scalar-only."""
+        if self.logger is None:
+            return
+        from human_dynamics_tpu.core.rotations import rodrigues
+
+        step_no = int(self.state.step)
+        out = self.hmmr.apply(self.state.params_e, batch.phis, train=False)
+        # In hmr_only mode omega_pred IS the static head (same IEF), so
+        # this covers the reference's static/pred branch in one line.
+        omega = out.omega_pred
+        betas = split_omega(omega)[2]
+        self.logger.log_histogram(step_no, "betas", betas)
+        if out.omega_hal is not None:
+            self.logger.log_histogram(
+                step_no, "betas_hal", split_omega(out.omega_hal)[2]
+            )
+
+        poses_rot = rodrigues(
+            split_omega(omega)[1].reshape(-1, 24, 3)
+        ).reshape(-1, 24, 9)
+        d_out = self.disc.apply(self.state.params_d, poses_rot[:, 1:])
+        self.logger.log_histogram(step_no, "poses_out/all", d_out[:, 23])
+        for i, name in enumerate(self.SMPL_JOINT_NAMES):
+            self.logger.log_histogram(
+                step_no, f"poses_out/{name}", d_out[:, i]
+            )
+
     # ------------------------------------------------------------------
 
     def step(self, batch: Batch) -> Dict[str, float]:
@@ -674,6 +715,10 @@ class Trainer:
                     self.logger.log_image(step_no, "pred/strip", strip)
                 except Exception as exc:  # vis must never kill training
                     print(f"render_summary failed: {exc}")
+                try:
+                    self.histogram_summary(batch)
+                except Exception as exc:
+                    print(f"histogram_summary failed: {exc}")
             if step_no % 500 == 0 and self.config.model_dir:
                 write_loss_proportions(
                     self.config.model_dir, step_no,

@@ -53,6 +53,27 @@ class MetricLogger:
         self._csv_writer.writerow(row)
         self._csv_file.flush()
 
+    def log_histogram(self, step: int, tag: str, values) -> None:
+        """Histogram to TensorBoard; mean/std mirrored into the CSV
+        stream (same observability role as the reference's beta and
+        per-joint discriminator histograms,
+        trainer_sequence_fc.py:724-742,770-789)."""
+        import numpy as np
+
+        v = np.asarray(values).reshape(-1)
+        if self._tb is not None:
+            self._tb.add_histogram(tag, v, step)
+        path = os.path.join(self.log_dir, "histograms.csv")
+        new = not os.path.exists(path)
+        with open(path, "a", newline="") as f:
+            w = csv.writer(f)
+            if new:
+                w.writerow(["step", "tag", "mean", "std", "min", "max"])
+            w.writerow([
+                step, tag, float(v.mean()), float(v.std()),
+                float(v.min()), float(v.max()),
+            ])
+
     def log_image(self, step: int, tag: str, image) -> None:
         """image: (H, W, 3) uint8 or [0,1] float."""
         import numpy as np

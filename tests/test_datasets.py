@@ -222,6 +222,56 @@ def test_tube_converter_phis(frame_dir, tmp_path):
     assert paths2 == paths
 
 
+def test_insta_detect_and_track_layout(tmp_path):
+    """shot_split per-frame jsons -> tubes: joint-name keying, the 0.1
+    logit visibility threshold, Head forced invisible, imloc frame
+    resolution, and the 2000-code split file."""
+    import json as jsonlib
+
+    from human_dynamics_tpu.datasets.insta_variety import (
+        UNIVERSAL_25_NAMES,
+        gather_tubes_detect_and_track,
+        split_video_codes,
+    )
+
+    root = tmp_path / "dt"
+    n = 45
+    seq_dir = root / "vidA" / "shot_split" / "000"
+    seq_dir.mkdir(parents=True)
+    for i in range(n):
+        data = {"imloc": f"frame_{i:05d}.jpg"}
+        for j, name in enumerate(UNIVERSAL_25_NAMES):
+            data[name] = {
+                "x": 100.0 + j, "y": 50.0 + j,
+                # joint 3 always below threshold -> invisible
+                "logits": 0.05 if j == 3 else 0.9,
+            }
+        with open(seq_dir / f"{i:05d}.json", "w") as f:
+            jsonlib.dump(data, f)
+
+    tubes = list(gather_tubes_detect_and_track(
+        str(root), "/frames", num_copies=2
+    ))
+    assert len(tubes) == 2  # one shot x num_copies
+    kps = tubes[0]["gt2ds"]
+    assert kps.shape == (n, 25, 3)
+    head = UNIVERSAL_25_NAMES.index("Head")
+    assert np.all(kps[:, head] == 0.0)        # forced invisible
+    assert np.all(kps[:, 3, 2] == 0.0)        # logit < 0.1
+    assert np.all(kps[:, 0, 2] == 1.0)
+    np.testing.assert_allclose(kps[:, 0, 0], 100.0)
+    assert tubes[0]["image_paths"][0] == "/frames/vidA/frame_00000.jpg"
+
+    lst = tmp_path / "codes.txt"
+    lst.write_text("".join(f"v{i}\n" for i in range(2500)))
+    train = split_video_codes(str(lst), "train")
+    test = split_video_codes(str(lst), "test")
+    assert len(train) == 2000 and len(test) == 500
+    assert train[0] == "v0" and test[0] == "v2000"
+    with pytest.raises(ValueError):
+        split_video_codes(str(lst), "val")
+
+
 def test_mocap_records_roundtrip(tmp_path):
     from human_dynamics_tpu.data.loader import MocapStream
     from human_dynamics_tpu.datasets.mocap import (

@@ -273,6 +273,31 @@ def test_train_step_2d_mesh_data_x_time():
     )
 
 
+def test_histogram_summary_logs_betas_and_disc_outputs(tmp_path):
+    """Beta + 23 per-joint + all-joint D-output histograms land in the
+    logger (trainer_sequence_fc.py:724-742,770-789 parity)."""
+    import csv
+
+    from human_dynamics_tpu.utils.logging import MetricLogger
+
+    config = tiny_config()
+    smpl = synthetic_smpl_model(num_verts=32, num_kps=config.num_kps)
+    logger = MetricLogger(str(tmp_path), use_tensorboard=False)
+    trainer = Trainer(config, smpl, logger=logger)
+    batch = make_batch(config, smpl)
+    trainer.histogram_summary(batch)
+    logger.close()
+
+    with open(tmp_path / "histograms.csv") as f:
+        rows = list(csv.DictReader(f))
+    tags = {r["tag"] for r in rows}
+    assert "betas" in tags and "betas_hal" in tags
+    assert "poses_out/all" in tags
+    assert "poses_out/Left_Finger" in tags
+    assert len([t for t in tags if t.startswith("poses_out/")]) == 24
+    assert all(np.isfinite(float(r["mean"])) for r in rows)
+
+
 def test_shard_batch_2d_rejects_indivisible_t():
     config = tiny_config(batch_size=4, T=21)
     smpl = synthetic_smpl_model(num_verts=32, num_kps=config.num_kps)
