@@ -205,7 +205,27 @@ def compute_losses(
     """
     b, t = batch.phis.shape[0], config.T
     rngs = {"dropout": dropout_rng} if dropout_rng is not None else None
-    out = hmmr.apply(params_e, batch.phis, train=train, rngs=rngs)
+
+    if config.use_bfloat16:
+        # Mixed precision: the network fwd/bwd (the FLOPs: resnet /
+        # temporal convs / IEF / hallucinator) in bf16; outputs cast
+        # back so SMPL decode + every loss below stays fp32. Params
+        # remain fp32 leaves — the cast is inside the grad graph, so
+        # gradients accumulate into fp32 optimizer state.
+        cast16 = lambda tree: jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+            tree,
+        )
+        out = hmmr.apply(
+            cast16(params_e), cast16(batch.phis), train=train, rngs=rngs
+        )
+        cast32 = lambda v: None if v is None else jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.float32), v
+        )
+        out = type(out)(*[cast32(v) for v in out])
+    else:
+        out = hmmr.apply(params_e, batch.phis, train=train, rngs=rngs)
 
     gt = OmegaGt.create(
         batch.poses_gt, batch.shapes_gt, batch.joints_gt, batch.kps

@@ -92,7 +92,10 @@ class Config:
     # TPU-native additions (no reference equivalent).
     seed: int = 1
     data_mesh_size: int = 1        # DP shards (1 = single chip)
-    use_bfloat16: bool = False     # bf16 activations in the encoder
+    # Mixed-precision training: the HMMR forward/backward (resnet,
+    # temporal convs, IEF, hallucinator) runs in bf16; SMPL decode,
+    # losses, the discriminator, params, and optimizer state stay fp32.
+    use_bfloat16: bool = False
     use_fused_smpl: bool = False   # Pallas blend+skin kernel for SMPL
     log_img_step: int = 5000       # rendered-prediction summary period
     log_img_count: int = 10        # frames per rendered summary strip

@@ -298,6 +298,39 @@ def test_histogram_summary_logs_betas_and_disc_outputs(tmp_path):
     assert all(np.isfinite(float(r["mean"])) for r in rows)
 
 
+def test_bf16_training_step_close_to_fp32():
+    """Mixed-precision training (use_bfloat16): one step must produce
+    finite, fp32-comparable losses and fp32 params/optimizer state."""
+    config32 = tiny_config()
+    config16 = tiny_config(use_bfloat16=True)
+    smpl = synthetic_smpl_model(num_verts=32, num_kps=config32.num_kps)
+    t32 = Trainer(config32, smpl)
+    t16 = Trainer(config16, smpl)
+    batch = make_batch(config32, smpl)
+
+    m32 = t32.step(batch)
+    m16 = t16.step(batch)
+    assert np.isfinite(float(m16["e_loss"]))
+    np.testing.assert_allclose(
+        float(m16["e_loss"]), float(m32["e_loss"]), rtol=0.05
+    )
+    np.testing.assert_allclose(
+        float(m16["d_loss"]), float(m32["d_loss"]), rtol=0.05
+    )
+    # Params and grads-accumulating state stay fp32.
+    leaves = jax.tree_util.tree_leaves(t16.state.params_e)
+    assert all(x.dtype == jnp.float32 for x in leaves
+               if hasattr(x, "dtype") and jnp.issubdtype(
+                   x.dtype, jnp.floating))
+    # A few more steps keep training stable and actually update params.
+    before = jax.tree_util.tree_leaves(t16.state.params_e)[0].copy()
+    for _ in range(3):
+        m16 = t16.step(batch)
+    assert np.isfinite(float(m16["e_loss"]))
+    after = jax.tree_util.tree_leaves(t16.state.params_e)[0]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
 def test_shard_batch_2d_rejects_indivisible_t():
     config = tiny_config(batch_size=4, T=21)
     smpl = synthetic_smpl_model(num_verts=32, num_kps=config.num_kps)
