@@ -230,6 +230,97 @@ def predict_clip_sharded(
     return {k: v[:n] for k, v in out.items()}
 
 
+def predict_clips_sharded_2d(
+    model,
+    variables,
+    smpl,
+    phis: jax.Array,
+    mesh: Mesh,
+    data_axis: str = "data",
+    time_axis: str = "time",
+    want_verts: bool = True,
+):
+    """Whole-clip inference for a BATCH of clips on a 2-D mesh.
+
+    Composes the two parallelism modes (SURVEY.md §2.3): clips shard
+    over ``data_axis`` (independent streams), each clip's frames over
+    ``time_axis`` (halo-exchange temporal encoder + psum-global GN, as
+    in predict_clip_sharded). One jitted program for the whole batch.
+
+    Args:
+        phis: (B, N, C) per-frame features, B clips of N frames.
+        mesh: 2-D mesh with axes (data_axis, time_axis).
+
+    Returns:
+        dict of (B, N, ...) arrays (same keys as predict_clip_sharded).
+    """
+    from human_dynamics_tpu.models.omega import compute_smpl, split_omega
+
+    b, n, c = phis.shape
+    d_dev = mesh.shape[data_axis]
+    t_dev = mesh.shape[time_axis]
+    b_pad = int(np.ceil(b / d_dev)) * d_dev
+    n_pad = int(np.ceil(n / t_dev)) * t_dev
+    phi_p = jnp.pad(phis, ((0, b_pad - b), (0, n_pad - n), (0, 0)))
+    mask = jnp.broadcast_to(
+        (jnp.arange(n_pad) < n).astype(phis.dtype)[None, :, None],
+        (b_pad, n_pad, 1),
+    )
+
+    enc_params = variables["params"]["temporal_encoder"]
+    num_layers = model.num_conv_layers
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(), P(),
+            P(data_axis, time_axis, None),
+            P(data_axis, time_axis, None),
+        ),
+        out_specs=P(data_axis, time_axis),
+    )
+    def run(variables, enc_params, phi_shard, mask_shard):
+        # phi_shard (Bl, Tl, C): vmap the per-clip halo encoder over the
+        # local clip axis — the ppermute/psum batch across clips.
+        strip = jax.vmap(
+            lambda p, m: temporal_encoder_sharded(
+                enc_params, p, num_layers, time_axis, mask_local=m
+            )
+        )(phi_shard, mask_shard)
+
+        present, deltas = model.apply(
+            variables, strip, False, model.predict_delta,
+            method=lambda m, f, train, wd: m._pred_heads(f, train, wd),
+        )                                           # (Bl, Tl, 85)
+
+        heads = [present] + [deltas[dt] for dt in sorted(deltas)]
+        stacked = jnp.stack(heads)                  # (H, Bl, Tl, 85)
+        cams = split_omega(present)[0]
+        cams_all = jnp.broadcast_to(
+            cams[None], stacked.shape[:-1] + (3,)
+        )
+        sm = compute_smpl(
+            smpl, stacked, use_optcam=False, cams_override=cams_all,
+            want_verts=want_verts,
+        )
+        out = {
+            "omegas": present,
+            "joints": sm.joints[0],
+            "kps": sm.kps[0],
+            "poses": sm.poses_rot[0],
+        }
+        if want_verts:
+            out["verts"] = sm.verts[0]
+        for i, dt in enumerate(sorted(deltas)):
+            out[f"omegas_delta_{dt}"] = stacked[i + 1]
+            out[f"joints_delta_{dt}"] = sm.joints[i + 1]
+        return out
+
+    out = run(variables, enc_params, phi_p, mask)
+    return {k: v[:b, :n] for k, v in out.items()}
+
+
 def movie_strip_sharded(
     variables,
     phi: jax.Array,

@@ -79,6 +79,29 @@ def test_sharded_clip_long(setup):
     assert bool(jnp.isfinite(got["omegas"]).all())
 
 
+def test_clips_sharded_2d_matches_per_clip(setup):
+    """Batch-of-clips inference on a (4 data x 2 time) mesh == the
+    unsharded per-clip forward (the §2.3 DP x SP composition)."""
+    from human_dynamics_tpu.parallel import make_mesh_2d
+    from human_dynamics_tpu.parallel.halo import predict_clips_sharded_2d
+
+    model, variables, smpl = setup
+    b, n = 5, 30     # both axes exercise padding (5->8 clips, 30->30)
+    phis = jnp.asarray(RNG.randn(b, n, 64).astype(np.float32))
+    mesh = make_mesh_2d(4, 2)
+
+    got = predict_clips_sharded_2d(model, variables, smpl, phis, mesh)
+    assert got["omegas"].shape == (b, n, 85)
+    assert got["verts"].shape == (b, n, 48, 3)
+    for i in range(b):
+        want = unsharded_reference(model, variables, smpl, phis[i])
+        for k in sorted(want):
+            np.testing.assert_allclose(
+                np.asarray(got[k][i]), np.asarray(want[k]), atol=3e-4,
+                err_msg=f"clip {i} key {k}",
+            )
+
+
 def test_windowed_predictor_sharded_matches_single():
     """DP-sharded windowed inference == single-device windowed inference
     (window groups over the mesh, replicated features)."""
