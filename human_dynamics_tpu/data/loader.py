@@ -125,9 +125,78 @@ class ExampleStream:
             order = self.rng.permutation(len(self.files))
             for fi in order:
                 for serialized in read_tfrecord(self.files[fi]):
+                    if not self.decode_images:
+                        fast = self._fast_example(serialized)
+                        if fast is not None:
+                            yield fast
+                            continue
                     ex = parse_temporal_example(serialized)
                     window = pick_window(ex.n, self.t, self.rng)
                     yield self._make_example(ex, window)
+
+    def _fast_example(self, serialized) -> Optional[Dict[str, np.ndarray]]:
+        """Windowed native parse: extract ONLY the sampled T-frame slice
+        of each per-frame field via ranged C++ FloatList reads. A T=20
+        window of a 120-frame tube touches ~1/6 of the ~1 MB phi
+        payload; ~5x faster than the full-proto Python parse. Returns
+        None (caller falls back to the slow path) when the native lib or
+        an expected field is unavailable. Identical output (and rng
+        draw order) to parse_temporal_example + _make_example."""
+        from human_dynamics_tpu.data.tfrecord_native import (
+            NativeExample,
+            load_library,
+        )
+
+        if load_library() is None:
+            return None
+        ne = NativeExample(serialized)
+        meta_n = ne.ints("meta/N")
+        n_phi = ne.count("image/phis")
+        if meta_n is None or n_phi is None or n_phi <= 0:
+            return None
+        n = int(meta_n[0])
+        window = pick_window(n, self.t, self.rng)
+        s, e = window.start, window.stop
+        w = e - s
+        t = self.t
+
+        xys = ne.floats_range("image/xys", s * 28, w * 28)
+        vis_all = ne.ints("image/visibilities")
+        poses = ne.floats_range("mosh/poses", s * 72, w * 72)
+        gt3ds = ne.floats_range("mosh/gt3ds", s * 42, w * 42)
+        shape = ne.floats("mosh/shape")
+        has_3d = ne.ints("meta/has_3d")
+        has_3d_joints = ne.ints("meta/has_3d_joints")
+        if any(v is None for v in (xys, vis_all, poses, gt3ds, shape,
+                                   has_3d, has_3d_joints)):
+            return None
+
+        parts = [np.concatenate([
+            xys.reshape(w, 2, 14),
+            vis_all[s * 14:e * 14].astype(np.float32).reshape(w, 1, 14),
+        ], axis=1)]
+        face = ne.floats_range("image/face_pts", s * 15, w * 15)
+        if face is not None:
+            parts.append(face.reshape(w, 3, 5))
+            toe = ne.floats_range("image/toe_pts", s * 18, w * 18)
+            if toe is not None:
+                parts.append(toe.reshape(w, 3, 6))
+        kps = np.transpose(np.concatenate(parts, axis=2), (0, 2, 1))
+
+        d = n_phi // n
+        phis = ne.floats_range("image/phis", s * d, w * d)
+        if phis is None or len(phis) != w * d:
+            return None
+
+        return {
+            "kps": _pad_to_t(kps, t)[:, :self.num_kps].astype(np.float32),
+            "poses": _pad_to_t(poses.reshape(w, 24, 3), t),
+            "shape": shape.astype(np.float32),
+            "gt3ds": _pad_to_t(gt3ds.reshape(w, 14, 3), t),
+            "has_3d_joints": np.float32(int(has_3d_joints[0])),
+            "has_3d_smpl": np.float32(int(has_3d[0])),
+            "phis": _pad_to_t(phis.reshape(w, d), t),
+        }
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         # Within-shard shuffle (shuffle_batch parity): without it,

@@ -62,6 +62,12 @@ def load_library():
         lib.example_get_count.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_long, ctypes.c_char_p
         ]
+        lib.example_get_floats_range.restype = ctypes.c_long
+        lib.example_get_floats_range.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+            ctypes.c_char_p, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_long,
+        ]
         _LIB = lib
     except Exception:
         _LIB_FAILED = True
@@ -121,6 +127,20 @@ class NativeExample:
         got = self._lib.example_get_floats(
             self._buf, self._len, key.encode(),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n,
+        )
+        if got < 0:
+            return None
+        return out[:got]
+
+    def floats_range(
+        self, key: str, offset: int, count: int
+    ) -> Optional[np.ndarray]:
+        """Floats [offset, offset+count) of a FloatList, skipping the
+        prefix without copying (the loader's windowed-tube hot path)."""
+        out = np.empty(count, np.float32)
+        got = self._lib.example_get_floats_range(
+            self._buf, self._len, key.encode(), offset,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), count,
         )
         if got < 0:
             return None

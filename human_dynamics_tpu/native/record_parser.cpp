@@ -179,6 +179,56 @@ long example_get_floats(
     return count;
 }
 
+// Copy floats [offset, offset + max_out) of a FloatList into out,
+// skipping the prefix without copying it. Returns the number of floats
+// written, -1 if the key is missing or not floats. This is the training
+// loader's hot path: a T=20 window of a 120-frame tube touches ~1/6 of
+// the ~1 MB phi payload.
+long example_get_floats_range(
+    const uint8_t* data, long len, const char* key, long offset,
+    float* out, long max_out)
+{
+    long flen;
+    const uint8_t* f = find_feature(data, len, key, &flen);
+    if (!f) return -1;
+    int kind;
+    long llen;
+    const uint8_t* l = feature_list(f, flen, &kind, &llen);
+    if (!l || kind != 2) return -1;
+    long pos = 0;
+    long idx = 0;     // index of the next float in the list
+    long count = 0;   // floats written
+    while (pos < llen && count < max_out) {
+        uint64_t tag;
+        if (!read_varint(l, llen, &pos, &tag)) return -1;
+        int wire = (int)(tag & 7);
+        if (wire == 2) {  // packed chunk
+            uint64_t plen;
+            if (!read_varint(l, llen, &pos, &plen)) return -1;
+            long n = (long)plen / 4;
+            long lo = offset > idx ? offset - idx : 0;   // skip within chunk
+            if (lo < n) {
+                long take = n - lo;
+                if (take > max_out - count) take = max_out - count;
+                memcpy(out + count, l + pos + lo * 4, take * 4);
+                count += take;
+            }
+            idx += n;
+            pos += (long)plen;
+        } else if (wire == 5) {
+            if (idx >= offset && count < max_out) {
+                memcpy(out + count, l + pos, 4);
+                count++;
+            }
+            idx++;
+            pos += 4;
+        } else {
+            return -1;
+        }
+    }
+    return count;
+}
+
 // Int64List -> int64 buffer. Returns count or -1.
 long example_get_ints(
     const uint8_t* data, long len, const char* key,

@@ -96,6 +96,46 @@ def test_example_stream_windows(data_dir):
     assert ex["has_3d_smpl"] == 1.0
 
 
+def test_fast_windowed_parse_matches_slow(data_dir):
+    """The native ranged-read fast path yields byte-identical examples
+    (and identical rng draws) to the full Python proto parse."""
+    files = get_all_files(data_dir, ["h36m"])
+    fast = ExampleStream(files, t=20, num_kps=25, seed=5)
+    slow = ExampleStream(files, t=20, num_kps=25, seed=5)
+    slow._fast_example = lambda serialized: None   # force slow path
+    it_fast, it_slow = fast._raw_stream(), slow._raw_stream()
+    for _ in range(6):
+        a, b = next(it_fast), next(it_slow)
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_array_equal(
+                np.asarray(a[k]), np.asarray(b[k]), err_msg=k
+            )
+
+
+def test_fast_parse_falls_back_without_phis(data_dir, tmp_path):
+    """Records without phis (image-mode tubes) fall back to the slow
+    parse rather than erroring."""
+    p = str(tmp_path / "nophi.tfrecord")
+    with TFRecordWriter(p) as w:
+        labels = RNG.rand(30, 3, 25).astype(np.float32)
+        w.write(convert_to_example_temporal(
+            image_datas=None,
+            image_paths=[f"f{i}.png" for i in range(30)],
+            image_shapes=np.full((30, 2), 224),
+            labels=labels,
+            centers=RNG.randint(0, 224, (30, 2)),
+            gt3ds=None,
+            scale_factors=RNG.rand(30, 2).astype(np.float32),
+            start_pts=RNG.randint(0, 50, (30, 2)),
+            cams=None,
+        ))
+    stream = ExampleStream([p], t=20, num_kps=25)
+    ex = next(stream._raw_stream())
+    assert "phis" not in ex
+    assert ex["kps"].shape == (20, 25, 3)
+
+
 def test_mocap_stream(data_dir):
     files = MocapStream.mocap_files(data_dir, ["CMU"])
     assert len(files) == 1
