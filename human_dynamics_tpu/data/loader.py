@@ -266,19 +266,31 @@ class MocapStream:
             )))
         return files
 
+    def _load_all(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Decode every (pose, shape) record ONCE into memory.
+
+        The reference also holds the whole mocap set in RAM
+        (read_smpl_data, data_utils.py:416-455) — ~80 KB per 1k pairs.
+        Decoding lazily per draw was the training input bottleneck
+        (the fake pool needs B*T*heads real poses per step)."""
+        poses, shapes = [], []
+        for path in self.files:
+            for serialized in read_tfrecord(path):
+                feats = decode_example(serialized)
+                poses.append(
+                    np.asarray(feats["pose"], np.float32).reshape(72)
+                )
+                shapes.append(
+                    np.asarray(feats["shape"], np.float32).reshape(10)
+                )
+        return np.stack(poses), np.stack(shapes)
+
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        poses, shapes = self._load_all()
+        n = len(poses)
         while True:
-            order = self.rng.permutation(len(self.files))
-            for fi in order:
-                for serialized in read_tfrecord(self.files[fi]):
-                    feats = decode_example(serialized)
-                    pose = np.asarray(
-                        feats["pose"], np.float32
-                    ).reshape(72)
-                    shape = np.asarray(
-                        feats["shape"], np.float32
-                    ).reshape(10)
-                    yield pose, shape
+            for i in self.rng.permutation(n):
+                yield poses[i], shapes[i]
 
 
 class MocapTemporalStream:
