@@ -126,6 +126,7 @@ class HmmrModel(nn.Module):
     num_stage: int = 3
     use_delta_from_pred: bool = True
     include_resnet: bool = False   # False = precomputed-phi mode (default)
+    remat_resnet: bool = False     # remat bottleneck units (training perf)
     feature_dim: int = 2048
     # Initial value of the trainable mean_param; None -> zeros fallback.
     # Wire Config.smpl_mean_path through resolve_mean_omega to set this
@@ -139,7 +140,7 @@ class HmmrModel(nn.Module):
 
     def setup(self):
         if self.include_resnet:
-            self.resnet_v2_50 = ResNetV2_50()
+            self.resnet_v2_50 = ResNetV2_50(remat=self.remat_resnet)
         self.temporal_encoder = TemporalEncoderFC2GN(
             num_layers=self.num_conv_layers, num_filter=self.feature_dim
         )

@@ -140,6 +140,11 @@ class ResNetV2_50(nn.Module):
         (6, 1024, 256),
         (3, 2048, 512),
     )
+    # Rematerialize each bottleneck unit on the backward pass: store only
+    # unit inputs, recompute the in-unit activations. Trades ~1/3 more
+    # conv FLOPs for not round-tripping every activation through HBM —
+    # opt-in for unfrozen image-mode training (Config.remat_resnet).
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -148,13 +153,17 @@ class ResNetV2_50(nn.Module):
         net = nn.max_pool(
             net, (3, 3), strides=(2, 2), padding="SAME"
         )
+        unit_cls = (
+            nn.remat(BottleneckV2, static_argnums=(2,))
+            if self.remat else BottleneckV2
+        )
         for bi, (num_units, depth, depth_bottleneck) in enumerate(
             self.blocks, start=1
         ):
             last_block = bi == len(self.blocks)
             for ui in range(1, num_units + 1):
                 stride = 2 if (ui == num_units and not last_block) else 1
-                net = BottleneckV2(
+                net = unit_cls(
                     depth=depth,
                     depth_bottleneck=depth_bottleneck,
                     stride=stride,

@@ -110,6 +110,7 @@ def build_models(config: Config) -> Tuple[HmmrModel, PoseDiscriminator]:
         num_stage=config.num_stage,
         use_delta_from_pred=config.use_delta_from_pred,
         include_resnet=not config.precomputed_phi,
+        remat_resnet=config.remat_resnet,
         feature_dim=config.feature_dim,
         mean_omega_init=resolve_mean_omega(config.smpl_mean_path),
     )

@@ -97,6 +97,10 @@ class Config:
     # losses, the discriminator, params, and optimizer state stay fp32.
     use_bfloat16: bool = False
     use_fused_smpl: bool = False   # Pallas blend+skin kernel for SMPL
+    # Rematerialize resnet bottleneck units on the backward pass
+    # (unfrozen image-mode training: recompute activations instead of
+    # round-tripping them through HBM).
+    remat_resnet: bool = False
     log_img_step: int = 5000       # rendered-prediction summary period
     log_img_count: int = 10        # frames per rendered summary strip
     log_step: int = 100

@@ -1,0 +1,170 @@
+"""Train-step throughput benchmark — committed evidence for the perf
+ledger (CLAUDE.md) and BENCH notes.
+
+Measures the full simultaneous E/D update (train.trainer.train_step:
+fwd + bwd + two Adams) on synthetic device-resident batches, so it
+times exactly the compiled step and not the input pipeline (the loader
+is benchmarked separately; it overlaps via the prefetch thread in real
+runs).
+
+Timing discipline for the tunnel-attached chip (CLAUDE.md): donate the
+state, dispatch `--steps` chained steps back-to-back, block ONCE on a
+large output leaf. Per-buffer readbacks or per-step blocking would add
+~2 ms RTT each and swamp the signal. Best-of-`--reps` is reported.
+
+Modes (reference counterparts: do_train.sh / config.py defaults):
+  phi            precomputed_phi=True   (the canonical training mode)
+  image-frozen   images + freeze_phi    (resnet fwd only, no E grads)
+  image          images, resnet trained end to end
+
+Example:
+  python scripts/bench_train.py --mode phi --bf16 --fused_smpl
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from human_dynamics_tpu.core import synthetic_smpl_model
+from human_dynamics_tpu.core.rotations import rodrigues
+from human_dynamics_tpu.train.trainer import (
+    Batch,
+    TrainState,
+    create_train_state,
+    fake_pool_size,
+    make_optimizers,
+    split_frozen_params,
+    train_step,
+)
+from human_dynamics_tpu.utils.cache import enable_compilation_cache
+from human_dynamics_tpu.utils.config import Config
+
+
+def synthetic_batch(config: Config, rng: np.random.RandomState) -> Batch:
+    b, t = config.batch_size, config.T
+    if config.precomputed_phi:
+        net_in = rng.randn(b, t, config.feature_dim).astype(np.float32)
+    else:
+        net_in = rng.uniform(
+            -1, 1, (b, t, config.img_size, config.img_size, 3)
+        ).astype(np.float32)
+    kps = rng.randn(b, t, config.num_kps, 3).astype(np.float32)
+    kps[..., 2] = 1.0
+    pool = fake_pool_size(config)
+    poses_real = np.asarray(
+        rodrigues(jnp.asarray(
+            (rng.randn(pool, 24, 3) * 0.2).astype(np.float32)
+        ))
+    )
+    return Batch(
+        phis=jnp.asarray(net_in),
+        kps=jnp.asarray(kps),
+        poses_gt=jnp.asarray(
+            (rng.randn(b, t, 24, 3) * 0.2).astype(np.float32)
+        ),
+        shapes_gt=jnp.asarray(
+            (rng.randn(b, 10) * 0.3).astype(np.float32)
+        ),
+        joints_gt=jnp.asarray(rng.randn(b, t, 14, 3).astype(np.float32)),
+        has_3d_joints=jnp.ones((b,)),
+        has_3d_smpl=jnp.ones((b,)),
+        poses_real=jnp.asarray(poses_real),
+    )
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--mode", default="phi",
+                   choices=("phi", "image-frozen", "image"))
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--T", type=int, default=20)
+    p.add_argument("--img_size", type=int, default=224)
+    p.add_argument("--bf16", action="store_true",
+                   help="mixed-precision network fwd/bwd")
+    p.add_argument("--fused_smpl", action="store_true",
+                   help="Pallas fused SMPL decode")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize resnet units in the backward")
+    p.add_argument("--num_verts", type=int, default=6890)
+    p.add_argument("--steps", type=int, default=20,
+                   help="chained steps per timed rep")
+    p.add_argument("--reps", type=int, default=3)
+    args = p.parse_args()
+
+    enable_compilation_cache()
+
+    config = Config(
+        batch_size=args.batch_size,
+        T=args.T,
+        img_size=args.img_size,
+        num_kps=25,
+        precomputed_phi=args.mode == "phi",
+        freeze_phi=args.mode == "image-frozen",
+        feature_dim=2048,
+        use_bfloat16=args.bf16,
+        use_fused_smpl=args.fused_smpl,
+        remat_resnet=args.remat,
+    )
+    smpl = synthetic_smpl_model(num_verts=args.num_verts, num_kps=25)
+    rng = np.random.RandomState(0)
+
+    state, hmmr, disc = create_train_state(config, jax.random.PRNGKey(0))
+    tx_e, tx_d = make_optimizers(config)
+    batch = synthetic_batch(config, rng)
+    step_rng = jax.random.PRNGKey(1)
+
+    @jax.jit
+    def step(state: TrainState, batch: Batch, rng: jax.Array):
+        new_state, metrics = train_step(
+            config, hmmr, disc, smpl, tx_e, tx_d, state, batch, rng
+        )
+        return new_state, metrics["e_loss"]
+
+    # Donation would invalidate `state` between reps; chaining the new
+    # state through the loop gives the same pipelining without it.
+    state, _ = step(state, batch, step_rng)           # compile + warm
+    jax.block_until_ready(state.params_e)
+
+    # One large leaf to block on (per-buffer blocking costs ~2 ms each).
+    def big_leaf(s: TrainState):
+        leaves = jax.tree_util.tree_leaves(s.params_e)
+        return max(leaves, key=lambda x: x.size)
+
+    best = float("inf")
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            state, loss = step(state, batch, step_rng)
+        big_leaf(state).block_until_ready()
+        dt = (time.perf_counter() - t0) / args.steps
+        best = min(best, dt)
+
+    assert bool(jnp.isfinite(loss)), "non-finite loss in benchmark"
+    frames = config.batch_size * config.T
+    print(json.dumps({
+        "mode": args.mode,
+        "bf16": args.bf16,
+        "fused_smpl": args.fused_smpl,
+        "remat": args.remat,
+        "batch_size": config.batch_size,
+        "T": config.T,
+        "ms_per_step": round(best * 1e3, 2),
+        "frames_per_s_trained": round(frames / best, 1),
+        "backend": jax.default_backend(),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -45,6 +45,37 @@ def test_resnet_param_structure():
     assert "batch_stats" in variables
 
 
+def test_resnet_remat_matches_plain():
+    """remat=True must be a pure performance knob: identical params,
+    outputs, and gradients to the plain trunk."""
+    x = jnp.asarray(RNG.randn(2, 32, 32, 3).astype(np.float32))
+    plain = ResNetV2_50()
+    remat = ResNetV2_50(remat=True)
+    variables = plain.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(
+        remat.init(jax.random.PRNGKey(0), x)
+    ) == jax.tree_util.tree_structure(variables)
+
+    np.testing.assert_allclose(
+        np.asarray(plain.apply(variables, x, train=True)),
+        np.asarray(remat.apply(variables, x, train=True)),
+        rtol=1e-6,
+    )
+
+    def loss(model, v):
+        return jnp.sum(model.apply(v, x, train=True) ** 2)
+
+    g_plain = jax.grad(lambda v: loss(plain, v))(variables)["params"]
+    g_remat = jax.grad(lambda v: loss(remat, v))(variables)["params"]
+    flat_p = jax.tree_util.tree_leaves_with_path(g_plain)
+    flat_r = dict(jax.tree_util.tree_leaves_with_path(g_remat))
+    for path, leaf in flat_p:
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_r[path]), rtol=1e-5,
+            atol=1e-6, err_msg=jax.tree_util.keystr(path),
+        )
+
+
 def test_temporal_encoder_receptive_field():
     """fov = 4*num_layers + 1: a single-frame perturbation must not leak
     beyond fov//2 frames (the windowed-inference contract,

@@ -1,0 +1,111 @@
+"""PredictionService: pipelined serving wrapper (infer/service.py)."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from human_dynamics_tpu.core import synthetic_smpl_model
+from human_dynamics_tpu.infer import HmmrPredictor, PredictionService
+from tests.test_infer import FakeHmmrModel
+
+RNG = np.random.RandomState(11)
+
+
+def make_service(**kw):
+    smpl = synthetic_smpl_model(num_verts=48, num_kps=19)
+    pred = HmmrPredictor(
+        FakeHmmrModel(), variables=None, smpl=smpl,
+        batch_size=2, seq_length=20,
+    )
+    return PredictionService(pred, **kw), pred
+
+
+def test_service_matches_direct_predict():
+    service, pred = make_service(as_numpy=True)
+    phi = RNG.randn(37, 160).astype(np.float32) * 0.5
+    with service:
+        got = service.submit(phi).result(timeout=120)
+    want = pred.predict_all_images(phi)
+    assert set(got) == set(want)
+    for k in sorted(want):
+        np.testing.assert_allclose(got[k], want[k], err_msg=k)
+
+
+def test_service_concurrent_submitters_and_stats():
+    """Requests from many threads all resolve, in any order, with
+    per-request results; counters add up."""
+    service, pred = make_service(as_numpy=True)
+    clips = {
+        n: RNG.randn(n, 160).astype(np.float32) * 0.5
+        for n in (21, 30, 37, 44)
+    }
+    results = {}
+    errors = []
+
+    def worker(n):
+        try:
+            results[n] = service.submit(clips[n]).result(timeout=300)
+        except Exception as e:  # pragma: no cover
+            errors.append((n, e))
+
+    threads = [
+        threading.Thread(target=worker, args=(n,)) for n in clips
+    ]
+    with service:
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    assert not errors
+    for n, clip in clips.items():
+        assert results[n]["omegas"].shape == (n, 85)
+        np.testing.assert_allclose(
+            results[n]["omegas"],
+            pred.predict_all_images(clip)["omegas"],
+            err_msg=str(n),
+        )
+    stats = service.stats()
+    assert stats["submitted"] == stats["completed"] == len(clips)
+    assert stats["failed"] == 0
+    assert stats["frames"] == sum(clips)
+
+
+def test_service_request_error_isolated():
+    """A malformed request fails only its own future."""
+    service, _ = make_service(as_numpy=True)
+    bad = np.zeros((5, 7), np.float32)          # wrong feature dim
+    good = RNG.randn(25, 160).astype(np.float32) * 0.5
+    with service:
+        fut_bad = service.submit(bad)
+        fut_good = service.submit(good)
+        with pytest.raises(Exception):
+            fut_bad.result(timeout=120)
+        out = fut_good.result(timeout=120)
+    assert out["omegas"].shape == (25, 85)
+    stats = service.stats()
+    assert stats["failed"] == 1
+    assert stats["completed"] == 1
+
+
+def test_service_rejects_after_close():
+    service, _ = make_service()
+    service.close()
+    with pytest.raises(RuntimeError):
+        service.submit(np.zeros((4, 160), np.float32))
+
+
+def test_service_close_without_drain_fails_pending():
+    service, _ = make_service(as_numpy=True)
+    # Queue a few; close(drain=False) may fail any still unstarted.
+    futs = [
+        service.submit(RNG.randn(21, 160).astype(np.float32))
+        for _ in range(3)
+    ]
+    service.close(drain=False)
+    for fut in futs:
+        try:
+            out = fut.result(timeout=120)
+            assert out["omegas"].shape == (21, 85)
+        except RuntimeError as e:
+            assert "closed" in str(e)
