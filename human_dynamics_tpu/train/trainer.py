@@ -482,11 +482,16 @@ class Trainer:
         self.tx_e, self.tx_d = make_optimizers(config)
         self.loss_weights = self._loss_weights()
 
+        # Donating the state lets XLA update params/optimizer moments
+        # in place instead of double-buffering them every step (the
+        # state is rebound from the step's return before any other use;
+        # donation is a no-op on CPU).
         self._jit_step = jax.jit(
             lambda state, batch, rng: train_step(
                 config, self.hmmr, self.disc, smpl,
                 self.tx_e, self.tx_d, state, batch, rng,
-            )
+            ),
+            donate_argnums=0,
         )
 
         if config.model_dir:
