@@ -76,6 +76,7 @@ class HmmrPredictor:
         pred_mode: str = "pred",
         use_fused_smpl: bool = False,
         bf16_encoder: bool = False,
+        int8_encoder: bool = False,
         bf16_temporal: bool = False,
         groups_per_step: int = 8,
         encode_chunk: int = 120,
@@ -92,6 +93,12 @@ class HmmrPredictor:
         # bf16 ResNet inference: ~2x encoder throughput at ~2e-3 relative
         # phi deviation; keep False where checkpoint bit-parity matters.
         self.bf16_encoder = bf16_encoder
+        # int8 ResNet inference (models/resnet_int8.py). NOTE: measured
+        # ~25% SLOWER than bf16 on v5e via XLA (quant/dequant passes
+        # outweigh the 2x MXU rate — see that module's docstring);
+        # provided for weight-memory-bound serving and as the substrate
+        # for a future fused kernel. Takes precedence over bf16_encoder.
+        self.int8_encoder = int8_encoder
         # bf16 temporal encoder + IEF heads (the non-resnet matmuls of the
         # window tail; GroupNorm stats stay fp32 inside flax). Omegas are
         # cast back to fp32 before SMPL decode. Same accuracy caveat.
@@ -358,21 +365,43 @@ class HmmrPredictor:
         if image_mode:
             chunk = self.encode_chunk
             n_chunks = frames.shape[0] // chunk
-            enc_vars = variables
-            if self.bf16_encoder:
-                enc_vars = jax.tree_util.tree_map(
-                    lambda x: x.astype(jnp.bfloat16)
-                    if x.dtype == jnp.float32 else x,
-                    variables,
+            chunks = frames.reshape(
+                (n_chunks, chunk) + frames.shape[1:]
+            )
+            if self.int8_encoder:
+                from human_dynamics_tpu.models.resnet_int8 import (
+                    apply_int8,
+                    prepare_int8_params,
                 )
-                frames = frames.astype(jnp.bfloat16)
-            phi = jax.lax.map(
-                lambda im: self.model.apply(
-                    enc_vars, im[None], train=False,
-                    method=lambda m, x, train: m.encode_images(x, train),
-                )[0],
-                frames.reshape((n_chunks, chunk) + frames.shape[1:]),
-            ).reshape(n_chunks * chunk, -1)[:n].astype(jnp.float32)
+
+                qp = prepare_int8_params({
+                    "params": variables["params"]["resnet_v2_50"],
+                    "batch_stats":
+                        variables["batch_stats"]["resnet_v2_50"],
+                })
+                phi = jax.lax.map(
+                    lambda im: apply_int8(qp, im), chunks
+                ).reshape(n_chunks * chunk, -1)[:n]
+            else:
+                enc_vars = variables
+                if self.bf16_encoder:
+                    enc_vars = jax.tree_util.tree_map(
+                        lambda x: x.astype(jnp.bfloat16)
+                        if x.dtype == jnp.float32 else x,
+                        variables,
+                    )
+                    chunks = chunks.astype(jnp.bfloat16)
+                phi = jax.lax.map(
+                    lambda im: self.model.apply(
+                        enc_vars, im[None], train=False,
+                        method=lambda m, x, train: m.encode_images(
+                            x, train
+                        ),
+                    )[0],
+                    chunks,
+                ).reshape(
+                    n_chunks * chunk, -1
+                )[:n].astype(jnp.float32)
         else:
             phi = frames
 

@@ -1,0 +1,214 @@
+"""Int8 quantized ResNet-50 v2 inference path (post-training quant).
+
+Why: the v5e MXU executes s8 x s8 -> s32 at ~2x its bf16 rate —
+measured on this chip with artifact-proof chained timing (CLAUDE.md
+perf ledger): 4096^3 matmul 358 TOP/s int8 vs 196 TFLOP/s bf16, and
+366-405 TOP/s vs 180-192 TFLOP/s on the resnet-stage 3x3 convs
+*including* requantization overhead. Quantizing the encoder targets
+the dominant compute in video->SMPL inference (encoder_resnet,
+/root/reference/src/models.py:50-77).
+
+MEASURED RESULT on v5e via XLA (honest negative): the full int8 trunk
+runs ~25% SLOWER than the bf16 trunk (14.1 vs 10.6 ms at batch 160,
+224x224; full-max dynamic scales 11.9 ms). The MXU saving (~5 ms) is
+outweighed by the quantize/dequantize elementwise passes, which XLA
+cannot fuse into integer-conv epilogues. The path is kept because
+(a) the BN-folding + per-channel PTQ converter is reusable as-is by a
+future fused (Pallas conv-epilogue) implementation — the only route to
+realizing the 2x — and (b) int8 weights halve encoder weight memory
+for weight-bound multi-model serving. Do NOT enable int8_encoder for
+speed on v5e; bf16_encoder remains the fast path.
+
+Scheme (standard symmetric PTQ, chosen for exactness of intent and
+zero calibration data):
+- Weights: per-output-channel symmetric int8 (`s_w[c] = max|w|/127`).
+- Activations: dynamic per-tensor symmetric int8, scale computed on
+  device per call (`s_x = max|x|/127`) — no calibration assets needed.
+- BatchNorm (inference uses moving stats) is FOLDED into the conv
+  dequantization: conv -> BN+relu becomes
+  `relu(y_i32 * (s_x*s_w*A)[c] + B[c])` with `A = g/sqrt(v+eps)`,
+  `B = b - m*A` — one fused multiply-add, no separate BN pass.
+- Everything elementwise (preact, requant, shortcut adds, pooling)
+  runs in bf16; conv accumulators are int32.
+- The root 7x7 conv (3 input channels — MXU-inefficient and ~3% of
+  FLOPs) and the final postnorm/pool stay bf16.
+
+Zero-padding note: symmetric quantization maps real 0 to quantized 0,
+so XLA's zero-padded int8 convolutions remain exact at the borders
+(an asymmetric/uint8 scheme would not have this property).
+
+The v2/preact structure of models/resnet.py (preact BN+relu feeding
+both branches, identity shortcuts on the RAW input, stride on the last
+unit, slim conv2d_same padding) is replicated exactly; only number
+formats change. Opt-in via ``HmmrPredictor(int8_encoder=True)``; the
+fp32/bf16 paths remain the parity-bearing defaults.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+BLOCKS = (
+    (3, 256, 64),
+    (4, 512, 128),
+    (6, 1024, 256),
+    (3, 2048, 512),
+)
+BN_EPS = 1e-5
+
+
+def _fold_bn(params: Dict, stats: Dict):
+    """(gamma, beta, moving stats) -> (A, B) with y_bn = y*A + B."""
+    a = params["gamma"] * jax.lax.rsqrt(stats["moving_variance"] + BN_EPS)
+    b = params["beta"] - stats["moving_mean"] * a
+    return a.astype(jnp.float32), b.astype(jnp.float32)
+
+
+def _quant_weight(w: jax.Array):
+    """Per-output-channel symmetric int8: w (H, W, I, O)."""
+    s = jnp.max(jnp.abs(w), axis=(0, 1, 2)) / 127.0 + 1e-12
+    q = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
+    return q, s.astype(jnp.float32)
+
+
+def prepare_int8_params(variables) -> Dict[str, jax.Array]:
+    """Flatten + quantize ResNetV2_50 flax variables for apply_int8.
+
+    Cheap (one pass over ~23M weights) — callers may run it inside the
+    same jit as the forward; XLA constant-folds it when `variables` are
+    literals and it costs ~a bandwidth pass otherwise.
+    """
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    out: Dict[str, jax.Array] = {
+        "root/w": params["conv1"]["kernel"].astype(jnp.bfloat16),
+        "root/b": params["conv1"]["bias"].astype(jnp.bfloat16),
+    }
+    for bi, (num_units, _depth, _db) in enumerate(BLOCKS, start=1):
+        for ui in range(1, num_units + 1):
+            name = f"block{bi}/unit_{ui}/bottleneck_v2"
+            p, st = params[name], stats[name]
+            pre = f"{name}/"
+            out[pre + "preact/A"], out[pre + "preact/B"] = _fold_bn(
+                p["preact"], st["preact"]
+            )
+            for conv, bn in (("conv1", "conv1_bn"), ("conv2", "conv2_bn")):
+                q, sw = _quant_weight(p[conv]["kernel"])
+                a, b = _fold_bn(p[bn], st[bn])
+                out[pre + conv + "/wq"] = q
+                # Fold BN scale into the dequant multiplier.
+                out[pre + conv + "/scale"] = sw * a
+                out[pre + conv + "/bias"] = b
+            q, sw = _quant_weight(p["conv3"]["kernel"])
+            out[pre + "conv3/wq"] = q
+            out[pre + "conv3/scale"] = sw
+            out[pre + "conv3/bias"] = p["conv3"]["bias"].astype(
+                jnp.float32
+            )
+            if "shortcut" in p:
+                q, sw = _quant_weight(p["shortcut"]["kernel"])
+                out[pre + "shortcut/wq"] = q
+                out[pre + "shortcut/scale"] = sw
+                out[pre + "shortcut/bias"] = p["shortcut"]["bias"].astype(
+                    jnp.float32
+                )
+    out["postnorm/A"], out["postnorm/B"] = _fold_bn(
+        params["postnorm"], stats["postnorm"]
+    )
+    return out
+
+
+def _quant_act(x: jax.Array):
+    """Dynamic per-tensor symmetric int8."""
+    s = jnp.max(jnp.abs(x)).astype(jnp.float32) / 127.0 + 1e-12
+    q = jnp.clip(
+        jnp.round(x / s.astype(x.dtype)), -127, 127
+    ).astype(jnp.int8)
+    return q, s
+
+
+def _conv_s8(xq: jax.Array, wq: jax.Array, stride: int) -> jax.Array:
+    """int8 conv, int32 accumulate; slim conv2d_same padding rules."""
+    k = wq.shape[0]
+    if stride == 1:
+        padding = "SAME"
+    else:
+        pad_beg = (k - 1) // 2
+        pad_end = k - 1 - pad_beg
+        padding = ((pad_beg, pad_end), (pad_beg, pad_end))
+    return jax.lax.conv_general_dilated(
+        xq, wq, (stride, stride), padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+
+
+def apply_int8(qp: Dict[str, jax.Array], images: jax.Array) -> jax.Array:
+    """(N, H, W, 3) [-1, 1] images -> (N, 2048) fp32 phi."""
+    x = images.astype(jnp.bfloat16)
+    # Root conv2d_same 7x7/2 (bf16) + 3x3/2 SAME maxpool.
+    x = jax.lax.conv_general_dilated(
+        x, qp["root/w"], (2, 2), ((3, 3), (3, 3)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.bfloat16) + qp["root/b"]
+    x = jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1), "SAME"
+    )
+
+    def dequant(y_i32, s_x, scale, bias, relu):
+        # fp32 math inside one fused elementwise pass (registers, not
+        # memory traffic — the expensive thing is extra passes, not
+        # precision), bf16 result written out.
+        y = (y_i32.astype(jnp.float32) * (s_x * scale) + bias).astype(
+            jnp.bfloat16
+        )
+        return jnp.maximum(y, 0) if relu else y
+
+    for bi, (num_units, depth, _db) in enumerate(BLOCKS, start=1):
+        last_block = bi == len(BLOCKS)
+        for ui in range(1, num_units + 1):
+            stride = 2 if (ui == num_units and not last_block) else 1
+            pre = f"block{bi}/unit_{ui}/bottleneck_v2/"
+            depth_in = x.shape[-1]
+
+            preact = jnp.maximum(
+                x * qp[pre + "preact/A"].astype(jnp.bfloat16)
+                + qp[pre + "preact/B"].astype(jnp.bfloat16),
+                0,
+            )
+            pq, s_p = _quant_act(preact)
+
+            if depth == depth_in:
+                shortcut = (
+                    x if stride == 1 else x[:, ::stride, ::stride, :]
+                )
+            else:
+                y = _conv_s8(pq, qp[pre + "shortcut/wq"], stride)
+                shortcut = dequant(
+                    y, s_p, qp[pre + "shortcut/scale"],
+                    qp[pre + "shortcut/bias"], relu=False,
+                )
+
+            y = _conv_s8(pq, qp[pre + "conv1/wq"], 1)
+            h = dequant(y, s_p, qp[pre + "conv1/scale"],
+                        qp[pre + "conv1/bias"], relu=True)
+            hq, s_h = _quant_act(h)
+            y = _conv_s8(hq, qp[pre + "conv2/wq"], stride)
+            h = dequant(y, s_h, qp[pre + "conv2/scale"],
+                        qp[pre + "conv2/bias"], relu=True)
+            hq, s_h = _quant_act(h)
+            y = _conv_s8(hq, qp[pre + "conv3/wq"], 1)
+            residual = dequant(y, s_h, qp[pre + "conv3/scale"],
+                               qp[pre + "conv3/bias"], relu=False)
+            x = shortcut + residual
+
+    x = jnp.maximum(
+        x * qp["postnorm/A"].astype(jnp.bfloat16)
+        + qp["postnorm/B"].astype(jnp.bfloat16),
+        0,
+    )
+    return jnp.mean(x, axis=(1, 2)).astype(jnp.float32)

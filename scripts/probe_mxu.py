@@ -1,0 +1,183 @@
+"""MXU roofline probes: bf16 vs int8, matmul / resnet-stage convs /
+full resnet trunk — with tunnel-proof timing.
+
+Timing method (the only one that survives this harness's tunneled
+runtime, which result-caches repeated dispatches): chain N
+data-dependent iterations inside ONE jitted lax.scan, time two scan
+lengths, and difference them to cancel dispatch overhead. See
+CLAUDE.md "Timing on this tunnel".
+
+Measured on one v5e (2026-08, recorded in CLAUDE.md):
+  matmul 4096^3       bf16 195.8 TFLOP/s   int8 358.4 TOP/s
+  conv3x3 56x56x64    bf16  75.8           int8 143.9
+  conv3x3 28x28x128   bf16 179.9           int8 366.5
+  conv3x3 14x14x256   bf16 180.5           int8 336.0
+  conv3x3  7x7x512    bf16 192.1           int8 405.4
+  resnet50 fwd B=160  bf16 10.63 ms (15.0k img/s, 123 TFLOP/s eff.)
+                      int8 11.91 ms — SLOWER: quant/dequant passes
+                      don't fuse into integer-conv epilogues (XLA).
+
+Usage: python scripts/probe_mxu.py [matmul|convs|resnet|resnet_int8]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+rng = np.random.RandomState(0)
+
+
+def _time_scan(make_body, carry0s, length):
+    """Best wall time of scan(body, c0, length) over distinct carries."""
+    f = jax.jit(
+        lambda c0: jax.lax.scan(make_body(), c0, None, length=length)[0]
+    )
+    jax.block_until_ready(f(carry0s[0]))
+    best = float("inf")
+    for c0 in carry0s[1:]:
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(c0))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _per_iter(make_body, carry0s, short=64, long=512):
+    t_s = _time_scan(make_body, carry0s, short)
+    t_l = _time_scan(make_body, carry0s, long)
+    return (t_l - t_s) / (long - short)
+
+
+def probe_matmul():
+    m = 4096
+    for dtype in ("bf16", "int8"):
+        if dtype == "bf16":
+            b = jnp.asarray(rng.randn(m, m), jnp.bfloat16)
+
+            def make_body():
+                def body(x, _):
+                    y = jax.lax.dot(
+                        x, b, preferred_element_type=jnp.float32)
+                    return (y * 1e-3).astype(jnp.bfloat16), ()
+                return body
+
+            c0s = [jnp.asarray(rng.randn(m, m), jnp.bfloat16)
+                   for _ in range(4)]
+        else:
+            b = jnp.asarray(rng.randint(-127, 127, (m, m), "int8"))
+
+            def make_body():
+                def body(x, _):
+                    y = jax.lax.dot(
+                        x, b, preferred_element_type=jnp.int32)
+                    return jnp.clip(y >> 12, -127, 127).astype(
+                        jnp.int8), ()
+                return body
+
+            c0s = [jnp.asarray(rng.randint(-127, 127, (m, m), "int8"))
+                   for _ in range(4)]
+        per = _per_iter(make_body, c0s)
+        print(f"matmul {dtype}: {per*1e3:.3f} ms = "
+              f"{2*m**3/per/1e12:.1f} T/s", flush=True)
+
+
+def probe_convs():
+    B = 160
+    for h, c in [(56, 64), (28, 128), (14, 256), (7, 512)]:
+        for dtype in ("bf16", "int8"):
+            if dtype == "bf16":
+                w = jnp.asarray(rng.randn(3, 3, c, c) * 0.05,
+                                jnp.bfloat16)
+
+                def make_body():
+                    def body(x, _):
+                        y = jax.lax.conv_general_dilated(
+                            x, w, (1, 1), "SAME",
+                            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                            preferred_element_type=jnp.float32)
+                        return (y * 0.05).astype(jnp.bfloat16), ()
+                    return body
+
+                c0s = [jnp.asarray(rng.randn(B, h, h, c), jnp.bfloat16)
+                       for _ in range(4)]
+            else:
+                w = jnp.asarray(
+                    rng.randint(-127, 127, (3, 3, c, c), "int8"))
+
+                def make_body():
+                    def body(x, _):
+                        y = jax.lax.conv_general_dilated(
+                            x, w, (1, 1), "SAME",
+                            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                            preferred_element_type=jnp.int32)
+                        return jnp.clip(y >> 10, -127, 127).astype(
+                            jnp.int8), ()
+                    return body
+
+                c0s = [
+                    jnp.asarray(
+                        rng.randint(-127, 127, (B, h, h, c), "int8"))
+                    for _ in range(4)
+                ]
+            per = _per_iter(make_body, c0s)
+            fl = 2 * B * h * h * c * c * 9
+            print(f"conv3x3 {dtype} {h}x{h}x{c}: {per*1e3:.3f} ms = "
+                  f"{fl/per/1e12:.1f} T/s", flush=True)
+
+
+def probe_resnet(int8: bool):
+    from human_dynamics_tpu.models.resnet import ResNetV2_50
+
+    B = 160
+    model = ResNetV2_50()
+    images = jnp.asarray(rng.randn(B, 224, 224, 3) * 0.5, jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), images[:1])
+    if int8:
+        from human_dynamics_tpu.models.resnet_int8 import (
+            apply_int8, prepare_int8_params,
+        )
+
+        qp = jax.jit(prepare_int8_params)(variables)
+        jax.block_until_ready(qp)
+        fwd = lambda x: apply_int8(qp, x)
+    else:
+        vars16 = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x,
+            variables,
+        )
+        fwd = lambda x: model.apply(
+            vars16, x.astype(jnp.bfloat16), train=False)
+
+    def make_body():
+        def body(c, _):
+            phi = fwd(images + c)
+            return (jnp.mean(phi) * 1e-6 + c + 1e-3).astype(
+                jnp.float32), ()
+        return body
+
+    c0s = [jnp.asarray(i * 1e-4, jnp.float32) for i in range(4)]
+    per = _per_iter(make_body, c0s, short=8, long=40)
+    tag = "int8" if int8 else "bf16"
+    print(f"resnet50 fwd {tag}: {per*1e3:.2f} ms/batch{B} = "
+          f"{B/per:.0f} img/s = {2*4.1e9*B/per/1e12:.1f} T/s eff.",
+          flush=True)
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "matmul"
+    {
+        "matmul": probe_matmul,
+        "convs": probe_convs,
+        "resnet": lambda: probe_resnet(False),
+        "resnet_int8": lambda: probe_resnet(True),
+    }[which]()

@@ -1,0 +1,107 @@
+"""Int8 quantized resnet path (models/resnet_int8.py): numeric
+fidelity vs the fp32 trunk, structural exactness of the BN fold, and
+end-to-end predictor integration."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from human_dynamics_tpu.models.resnet import ResNetV2_50
+from human_dynamics_tpu.models.resnet_int8 import (
+    apply_int8,
+    prepare_int8_params,
+)
+
+RNG = np.random.RandomState(5)
+
+
+@pytest.fixture(scope="module")
+def trunk():
+    model = ResNetV2_50()
+    x = jnp.asarray(RNG.randn(2, 64, 64, 3).astype(np.float32) * 0.5)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    # Non-trivial BN stats so the fold is actually exercised.
+    variables = jax.tree_util.tree_map(lambda v: v, variables)
+    stats = jax.tree_util.tree_map(
+        lambda v: v + jnp.asarray(
+            RNG.uniform(0.01, 0.2, v.shape).astype(np.float32)
+        ),
+        variables["batch_stats"],
+    )
+    variables = {"params": variables["params"], "batch_stats": stats}
+    return model, variables, x
+
+
+def test_int8_phi_close_to_fp32(trunk):
+    model, variables, x = trunk
+    want = np.asarray(model.apply(variables, x, train=False))
+    qp = prepare_int8_params(variables)
+    got = np.asarray(apply_int8(qp, x))
+    assert got.shape == want.shape == (2, 2048)
+    # Quantization error bound: per-tensor dynamic activations +
+    # per-channel weights across 16 units. Cosine similarity is the
+    # meaningful metric for a feature vector feeding an IEF regressor.
+    cos = np.sum(got * want, axis=1) / (
+        np.linalg.norm(got, axis=1) * np.linalg.norm(want, axis=1)
+    )
+    assert np.all(cos > 0.98), cos
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert rel < 0.2, rel
+
+
+def test_prepare_folds_bn_exactly(trunk):
+    """A,B must satisfy BN(y) == y*A + B for the stored stats."""
+    _, variables, _ = trunk
+    qp = prepare_int8_params(variables)
+    name = "block1/unit_1/bottleneck_v2"
+    p = variables["params"][name]["preact"]
+    st = variables["batch_stats"][name]["preact"]
+    y = RNG.randn(7, p["gamma"].shape[0]).astype(np.float32)
+    inv = p["gamma"] / np.sqrt(st["moving_variance"] + 1e-5)
+    want = (y - st["moving_mean"]) * inv + p["beta"]
+    got = y * qp[name + "/preact/A"] + qp[name + "/preact/B"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_weight_quant_roundtrip(trunk):
+    """Dequantized weights are within half a quantization step."""
+    _, variables, _ = trunk
+    qp = prepare_int8_params(variables)
+    name = "block2/unit_1/bottleneck_v2"
+    w = np.asarray(variables["params"][name]["conv3"]["kernel"])
+    wq = np.asarray(qp[name + "/conv3/wq"], np.float32)
+    s = np.asarray(qp[name + "/conv3/scale"])
+    np.testing.assert_allclose(
+        wq * s, w, atol=float(np.max(s)) * 0.51
+    )
+    assert np.abs(wq).max() <= 127
+
+
+def test_predictor_int8_end_to_end():
+    """int8_encoder=True runs the fused predict path and lands near the
+    fp32 result on a tiny image-mode model."""
+    from human_dynamics_tpu.core import synthetic_smpl_model
+    from human_dynamics_tpu.infer import HmmrPredictor
+    from human_dynamics_tpu.models import HmmrModel
+
+    model = HmmrModel(include_resnet=True)
+    smpl = synthetic_smpl_model(num_verts=48, num_kps=25)
+    images = jnp.asarray(
+        RNG.rand(25, 64, 64, 3).astype(np.float32) * 2 - 1
+    )
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 1, 64, 64, 3))
+    )
+    kw = dict(batch_size=2, seq_length=20, encode_chunk=16)
+    base = HmmrPredictor(model, variables, smpl, **kw)
+    fast = HmmrPredictor(model, variables, smpl, int8_encoder=True, **kw)
+    want = base.predict_all_images(images)
+    got = fast.predict_all_images(images)
+    assert set(got) == set(want)
+    assert got["omegas"].shape == want["omegas"].shape
+    # Same pipeline downstream; omegas differ only by encoder quant.
+    assert np.isfinite(got["omegas"]).all()
+    diff = np.abs(got["omegas"] - want["omegas"]).max()
+    assert diff < 0.5, diff
