@@ -155,6 +155,14 @@ class ExampleStream:
         if meta_n is None or n_phi is None or n_phi <= 0:
             return None
         n = int(meta_n[0])
+        # The ranged reads below assume the standard per-frame strides
+        # (14 kps, 24*3 pose, 14*3 gt3ds). Records with other joint
+        # counts (the slow path handles them via reshape(n,-1,3)[:,:14])
+        # must fall back BEFORE the rng draw so draw order is preserved.
+        if (ne.count("image/xys") != n * 28
+                or ne.count("mosh/poses") != n * 72
+                or ne.count("mosh/gt3ds") != n * 42):
+            return None
         window = pick_window(n, self.t, self.rng)
         s, e = window.start, window.stop
         w = e - s
@@ -253,6 +261,7 @@ class MocapStream:
             raise FileNotFoundError("No mocap tfrecord shards found")
         self.files = files
         self.rng = np.random.RandomState(seed)
+        self._cache: Optional[Tuple[np.ndarray, np.ndarray]] = None
 
     @staticmethod
     def mocap_files(dataset_dir: str, mocap_datasets: Sequence[str]):
@@ -267,12 +276,16 @@ class MocapStream:
         return files
 
     def _load_all(self) -> Tuple[np.ndarray, np.ndarray]:
-        """Decode every (pose, shape) record ONCE into memory.
+        """Decode every (pose, shape) record ONCE into memory (cached
+        across iterators).
 
         The reference also holds the whole mocap set in RAM
-        (read_smpl_data, data_utils.py:416-455) — ~80 KB per 1k pairs.
-        Decoding lazily per draw was the training input bottleneck
-        (the fake pool needs B*T*heads real poses per step)."""
+        (read_smpl_data, data_utils.py:416-455) — (72+10) float32s =
+        ~330 KB per 1k pairs. Decoding lazily per draw was the training
+        input bottleneck (the fake pool needs B*T*heads real poses per
+        step)."""
+        if self._cache is not None:
+            return self._cache
         poses, shapes = [], []
         for path in self.files:
             for serialized in read_tfrecord(path):
@@ -283,7 +296,8 @@ class MocapStream:
                 shapes.append(
                     np.asarray(feats["shape"], np.float32).reshape(10)
                 )
-        return np.stack(poses), np.stack(shapes)
+        self._cache = (np.stack(poses), np.stack(shapes))
+        return self._cache
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         poses, shapes = self._load_all()

@@ -33,6 +33,7 @@ from human_dynamics_tpu.core.smpl import SmplModel
 from human_dynamics_tpu.infer.window import WindowSchedule
 from human_dynamics_tpu.models.hmmr import HmmrModel
 from human_dynamics_tpu.models.omega import compute_smpl, split_omega
+from human_dynamics_tpu.utils.precision import tree_bf16
 
 
 def _next_pow2(x: int) -> int:
@@ -98,7 +99,20 @@ class HmmrPredictor:
         # outweigh the 2x MXU rate — see that module's docstring);
         # provided for weight-memory-bound serving and as the substrate
         # for a future fused kernel. Takes precedence over bf16_encoder.
+        # Weights are quantized ONCE here and stay device-resident; a
+        # memory-bound caller may then drop the fp32 resnet subtree from
+        # `variables` (the window tail never binds it).
         self.int8_encoder = int8_encoder
+        self._int8_qp = None
+        if int8_encoder and variables is not None:
+            from human_dynamics_tpu.models.resnet_int8 import (
+                prepare_int8_params,
+            )
+
+            self._int8_qp = jax.jit(prepare_int8_params)({
+                "params": variables["params"]["resnet_v2_50"],
+                "batch_stats": variables["batch_stats"]["resnet_v2_50"],
+            })
         # bf16 temporal encoder + IEF heads (the non-resnet matmuls of the
         # window tail; GroupNorm stats stay fp32 inside flax). Omegas are
         # cast back to fp32 before SMPL decode. Same accuracy caveat.
@@ -193,11 +207,7 @@ class HmmrPredictor:
 
             apply_vars = variables
             if self.bf16_temporal:
-                apply_vars = jax.tree_util.tree_map(
-                    lambda x: x.astype(jnp.bfloat16)
-                    if x.dtype == jnp.float32 else x,
-                    variables,
-                )
+                apply_vars = tree_bf16(variables)
                 windows = windows.astype(jnp.bfloat16)
             out = self.model.apply(apply_vars, windows, train=False)
             if self.bf16_temporal:
@@ -276,11 +286,14 @@ class HmmrPredictor:
                 for k, v in result.items()
             }
 
+        # Largest divisor of n_groups that fits the per-step bound.
+        # Counts come from _bucket's {2^k, 3*2^k} set, so e.g. count 12
+        # with groups_per_step 8 runs as 2 steps of 6 — NOT one 12-group
+        # mega-step, which would breach the peak-memory bound this
+        # chunking exists to enforce.
         step = min(self.groups_per_step, n_groups)
-        if n_groups % step != 0:
-            # group counts are power-of-2 bucketed; a non-divisible count
-            # only happens for exotic configs — fall back to one step.
-            step = n_groups
+        while n_groups % step != 0:
+            step -= 1
         if n_groups == step:
             return run_groups(group_ids)
         mapped = jax.lax.map(
@@ -351,9 +364,10 @@ class HmmrPredictor:
 
         return {k: stitch(v) for k, v in out.items()}
 
-    @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
+    @functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
     def _predict_fused(
-        self, variables, frames, n: int, count: int, image_mode: bool
+        self, variables, enc_qp, frames, n: int, count: int,
+        image_mode: bool,
     ):
         """ONE program: [resnet over chunks ->] pad -> windows -> stitch.
 
@@ -371,25 +385,15 @@ class HmmrPredictor:
             if self.int8_encoder:
                 from human_dynamics_tpu.models.resnet_int8 import (
                     apply_int8,
-                    prepare_int8_params,
                 )
 
-                qp = prepare_int8_params({
-                    "params": variables["params"]["resnet_v2_50"],
-                    "batch_stats":
-                        variables["batch_stats"]["resnet_v2_50"],
-                })
                 phi = jax.lax.map(
-                    lambda im: apply_int8(qp, im), chunks
+                    lambda im: apply_int8(enc_qp, im), chunks
                 ).reshape(n_chunks * chunk, -1)[:n]
             else:
                 enc_vars = variables
                 if self.bf16_encoder:
-                    enc_vars = jax.tree_util.tree_map(
-                        lambda x: x.astype(jnp.bfloat16)
-                        if x.dtype == jnp.float32 else x,
-                        variables,
-                    )
+                    enc_vars = tree_bf16(variables)
                     chunks = chunks.astype(jnp.bfloat16)
                 phi = jax.lax.map(
                     lambda im: self.model.apply(
@@ -456,7 +460,7 @@ class HmmrPredictor:
             n = len(frames)
             chunk = self.encode_chunk
             n_chunks = int(np.ceil(n / chunk))
-            # Bucket the chunk count (powers of two) so assorted video
+            # Bucket the chunk count ({2^k, 3*2^k}) so assorted video
             # lengths share compiled programs.
             n_chunks = _bucket(n_chunks)
             frames = jnp.asarray(frames, jnp.float32)
@@ -475,7 +479,7 @@ class HmmrPredictor:
         )
         count = _bucket(sched.count)
         out = self._predict_fused(
-            self.variables, inputs, n, count, image_mode
+            self.variables, self._int8_qp, inputs, n, count, image_mode
         )
         if as_numpy:
             out = jax.device_get(out)

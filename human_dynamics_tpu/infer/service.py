@@ -59,6 +59,12 @@ class PredictionService:
         self.as_numpy = as_numpy
         self._queue: "queue.Queue" = queue.Queue(maxsize=max_queue)
         self._lock = threading.Lock()
+        # Lifecycle lock: makes the closed-check + enqueue in submit()
+        # atomic against close()'s closed-set + sentinel enqueue, so no
+        # request can land behind the sentinel and hang its Future.
+        # Separate from _lock: the dispatcher takes _lock for stats, and
+        # a bounded-queue put may block in submit while holding this.
+        self._close_lock = threading.Lock()
         self._stats = {
             "submitted": 0, "completed": 0, "failed": 0, "frames": 0,
         }
@@ -78,10 +84,11 @@ class PredictionService:
         ``frames``/``phi`` follow ``HmmrPredictor.predict_all_images``.
         Raises RuntimeError after ``close()``.
         """
-        if self._closed:
-            raise RuntimeError("PredictionService is closed")
         fut: "Future[Dict[str, Any]]" = Future()
-        self._queue.put((fut, frames, phi))
+        with self._close_lock:
+            if self._closed:
+                raise RuntimeError("PredictionService is closed")
+            self._queue.put((fut, frames, phi))
         with self._lock:
             self._stats["submitted"] += 1
         return fut
@@ -92,20 +99,21 @@ class PredictionService:
 
     def close(self, drain: bool = True) -> None:
         """Stop accepting work; by default finish what's queued."""
-        if self._closed:
-            return
-        self._closed = True
-        if not drain:
-            # Fail queued-but-unstarted requests.
-            try:
-                while True:
-                    fut, _, _ = self._queue.get_nowait()
-                    fut.set_exception(
-                        RuntimeError("PredictionService closed")
-                    )
-            except queue.Empty:
-                pass
-        self._queue.put(None)  # sentinel
+        with self._close_lock:
+            if self._closed:
+                return
+            self._closed = True
+            if not drain:
+                # Fail queued-but-unstarted requests.
+                try:
+                    while True:
+                        fut, _, _ = self._queue.get_nowait()
+                        fut.set_exception(
+                            RuntimeError("PredictionService closed")
+                        )
+                except queue.Empty:
+                    pass
+            self._queue.put(None)  # sentinel
         self._thread.join()
 
     def __enter__(self) -> "PredictionService":

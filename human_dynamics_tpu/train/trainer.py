@@ -45,6 +45,7 @@ from human_dynamics_tpu.models.omega import (
 )
 from human_dynamics_tpu.train import losses as L
 from human_dynamics_tpu.utils.config import Config
+from human_dynamics_tpu.utils.precision import tree_bf16
 
 TrainConfig = Config  # alias; the single Config drives training too.
 
@@ -213,13 +214,9 @@ def compute_losses(
         # back so SMPL decode + every loss below stays fp32. Params
         # remain fp32 leaves — the cast is inside the grad graph, so
         # gradients accumulate into fp32 optimizer state.
-        cast16 = lambda tree: jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.bfloat16)
-            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
-            tree,
-        )
         out = hmmr.apply(
-            cast16(params_e), cast16(batch.phis), train=train, rngs=rngs
+            tree_bf16(params_e), tree_bf16(batch.phis), train=train,
+            rngs=rngs,
         )
         cast32 = lambda v: None if v is None else jax.tree_util.tree_map(
             lambda x: x.astype(jnp.float32), v

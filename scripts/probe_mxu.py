@@ -150,11 +150,9 @@ def probe_resnet(int8: bool):
         jax.block_until_ready(qp)
         fwd = lambda x: apply_int8(qp, x)
     else:
-        vars16 = jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.bfloat16)
-            if x.dtype == jnp.float32 else x,
-            variables,
-        )
+        from human_dynamics_tpu.utils.precision import tree_bf16
+
+        vars16 = tree_bf16(variables)
         fwd = lambda x: model.apply(
             vars16, x.astype(jnp.bfloat16), train=False)
 

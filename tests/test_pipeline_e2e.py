@@ -136,11 +136,53 @@ def test_fast_parse_falls_back_without_phis(data_dir, tmp_path):
     assert ex["kps"].shape == (20, 25, 3)
 
 
+def test_fast_parse_falls_back_on_nonstandard_gt3d_count(tmp_path):
+    """The native ranged parse assumes 14 gt3d joints per frame; a
+    record with a different joint count must fall back to the slow
+    path (which slices [:, :14]) and yield the identical example —
+    not read misaligned frame-crossing floats."""
+    n = 30
+    p = str(tmp_path / "wide3d.tfrecord")
+    with TFRecordWriter(p) as w:
+        labels = RNG.rand(n, 3, 25).astype(np.float32)
+        labels[:, 2] = 1.0
+        w.write(convert_to_example_temporal(
+            image_datas=None,
+            image_paths=[f"f{i}.png" for i in range(n)],
+            image_shapes=np.full((n, 2), 224),
+            labels=labels,
+            centers=RNG.randint(0, 224, (n, 2)),
+            gt3ds=RNG.randn(n, 16, 3).astype(np.float32),  # 16 != 14
+            scale_factors=RNG.rand(n, 2).astype(np.float32),
+            start_pts=RNG.randint(0, 50, (n, 2)),
+            cams=RNG.rand(n, 3).astype(np.float32),
+            poses=RNG.randn(n, 72).astype(np.float32) * 0.2,
+            shape=RNG.randn(10).astype(np.float32) * 0.3,
+            phis=RNG.randn(n, 64).astype(np.float32),
+        ))
+    fast = ExampleStream([p], t=20, num_kps=25, seed=9)
+    slow = ExampleStream([p], t=20, num_kps=25, seed=9)
+    slow._fast_example = lambda serialized: None
+    a = next(fast._raw_stream())
+    b = next(slow._raw_stream())
+    assert a["gt3ds"].shape == (20, 14, 3)
+    for k in a:
+        np.testing.assert_array_equal(
+            np.asarray(a[k]), np.asarray(b[k]), err_msg=k
+        )
+
+
 def test_mocap_stream(data_dir):
     files = MocapStream.mocap_files(data_dir, ["CMU"])
     assert len(files) == 1
-    pose, shape = next(iter(MocapStream(files)))
+    stream = MocapStream(files)
+    pose, shape = next(iter(stream))
     assert pose.shape == (72,) and shape.shape == (10,)
+    # _load_all caches across iterators (no re-decode per __iter__).
+    assert stream._cache is not None
+    cached = stream._cache
+    next(iter(stream))
+    assert stream._cache is cached
 
 
 def test_train_pipeline_balanced_batches(data_dir):
