@@ -24,6 +24,7 @@ Example:
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import os
 import sys
@@ -125,15 +126,15 @@ def main() -> None:
     batch = synthetic_batch(config, rng)
     step_rng = jax.random.PRNGKey(1)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=0)
     def step(state: TrainState, batch: Batch, rng: jax.Array):
         new_state, metrics = train_step(
             config, hmmr, disc, smpl, tx_e, tx_d, state, batch, rng
         )
         return new_state, metrics["e_loss"]
 
-    # Donation would invalidate `state` between reps; chaining the new
-    # state through the loop gives the same pipelining without it.
+    # State is donated (in-place param/moment updates — what Trainer
+    # does); the loop always rebinds it, so no stale reference exists.
     state, _ = step(state, batch, step_rng)           # compile + warm
     jax.block_until_ready(state.params_e)
 
