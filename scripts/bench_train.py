@@ -143,11 +143,23 @@ def main() -> None:
         leaves = jax.tree_util.tree_leaves(s.params_e)
         return max(leaves, key=lambda x: x.size)
 
+    # Distinct rng per dispatch, PRECOMPUTED outside the timed loop:
+    # the tunneled runtime result-caches repeated dispatches keyed on
+    # (executable, non-donated inputs) — a constant-argument loop
+    # reports impossibly low numbers, while folding rng inside the loop
+    # would add a per-step dispatch of its own.
+    rngs = [
+        jax.random.fold_in(step_rng, i)
+        for i in range(args.reps * args.steps)
+    ]
+    jax.block_until_ready(rngs)
     best = float("inf")
+    call = 0
     for _ in range(args.reps):
         t0 = time.perf_counter()
         for _ in range(args.steps):
-            state, loss = step(state, batch, step_rng)
+            state, loss = step(state, batch, rngs[call])
+            call += 1
         big_leaf(state).block_until_ready()
         dt = (time.perf_counter() - t0) / args.steps
         best = min(best, dt)
