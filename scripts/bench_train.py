@@ -7,10 +7,13 @@ times exactly the compiled step and not the input pipeline (the loader
 is benchmarked separately; it overlaps via the prefetch thread in real
 runs).
 
-Timing discipline for the tunnel-attached chip (CLAUDE.md): donate the
-state, dispatch `--steps` chained steps back-to-back, block ONCE on a
-large output leaf. Per-buffer readbacks or per-step blocking would add
-~2 ms RTT each and swamp the signal. Best-of-`--reps` is reported.
+Timing discipline for the tunnel-attached chip (CLAUDE.md): chained
+donated-state dispatches with distinct precomputed rngs, each timed
+block ended by a REAL scalar fetch (block_until_ready is unreliable
+for donated-aliased outputs on this runtime), two block lengths
+differenced to cancel the fetch round trip, median over `--reps`.
+Use --steps large enough that the compute difference dwarfs the
+~±100 ms fetch jitter (>=100 for phi, >=40 for image modes).
 
 Modes (reference counterparts: do_train.sh / config.py defaults):
   phi            precomputed_phi=True   (the canonical training mode)
@@ -143,26 +146,46 @@ def main() -> None:
         leaves = jax.tree_util.tree_leaves(s.params_e)
         return max(leaves, key=lambda x: x.size)
 
-    # Distinct rng per dispatch, PRECOMPUTED outside the timed loop:
-    # the tunneled runtime result-caches repeated dispatches keyed on
-    # (executable, non-donated inputs) — a constant-argument loop
-    # reports impossibly low numbers, while folding rng inside the loop
-    # would add a per-step dispatch of its own.
-    rngs = [
-        jax.random.fold_in(step_rng, i)
-        for i in range(args.reps * args.steps)
-    ]
-    jax.block_until_ready(rngs)
-    best = float("inf")
+    # Timing discipline (all three rules are load-bearing on this
+    # runtime — see CLAUDE.md "Timing on this tunnel"):
+    # 1. Distinct rng per dispatch, precomputed: identical repeated
+    #    dispatches can be result-cached.
+    # 2. A REAL value fetch (scalar sum of the largest leaf) ends each
+    #    timed block: block_until_ready returns without waiting for
+    #    outputs that alias DONATED inputs, reporting impossible times.
+    # 3. Two block lengths, differenced: cancels the fetch round trip
+    #    and dispatch pipeline fill.
+    n_rngs = args.reps * (args.steps + args.steps // 10 + 2)
+    rngs_arr = jax.vmap(
+        lambda i: jax.random.fold_in(step_rng, i)
+    )(jnp.arange(n_rngs))
+    rngs = [rngs_arr[i] for i in range(n_rngs)]
+    jax.block_until_ready(rngs_arr)
     call = 0
-    for _ in range(args.reps):
+
+    def run_block(nsteps):
+        nonlocal state, call
         t0 = time.perf_counter()
-        for _ in range(args.steps):
+        loss = None
+        for _ in range(nsteps):
             state, loss = step(state, batch, rngs[call])
             call += 1
-        big_leaf(state).block_until_ready()
-        dt = (time.perf_counter() - t0) / args.steps
-        best = min(best, dt)
+        checksum = float(jnp.sum(big_leaf(state)))
+        assert np.isfinite(checksum), "non-finite params in benchmark"
+        return time.perf_counter() - t0, loss
+
+    # The scalar-fetch round trip has ~±100 ms jitter on this tunnel:
+    # the long block must carry MUCH more compute than that, and the
+    # median (not min) of the diffs is reported — a min of differences
+    # can go negative under jitter.
+    short = max(1, args.steps // 10)
+    diffs = []
+    loss = None
+    for _ in range(args.reps):
+        t_short, _ = run_block(short)
+        t_long, loss = run_block(args.steps)
+        diffs.append((t_long - t_short) / (args.steps - short))
+    best = float(np.median(diffs))
 
     assert bool(jnp.isfinite(loss)), "non-finite loss in benchmark"
     frames = config.batch_size * config.T
