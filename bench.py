@@ -48,14 +48,13 @@ def main():
     # unrepresentative of any real deployment).
     # Distinct tensors for warmup vs timed run: the tunneled runtime has
     # shown dispatch-level caching artifacts on repeated identical calls.
-    images = jax.random.uniform(
-        jax.random.PRNGKey(1), (n_frames, 224, 224, 3),
-        minval=-1.0, maxval=1.0,
-    )
-    images_timed = jax.random.uniform(
-        jax.random.PRNGKey(2), (n_frames, 224, 224, 3),
-        minval=-1.0, maxval=1.0,
-    )
+    inputs = [
+        jax.random.uniform(
+            jax.random.PRNGKey(k), (n_frames, 224, 224, 3),
+            minval=-1.0, maxval=1.0,
+        )
+        for k in range(10)
+    ]
 
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 1, 224, 224, 3))
@@ -69,27 +68,33 @@ def main():
         return predictor.predict_all_images(ims, as_numpy=False)
 
     # Warmup (compilation).
-    preds = run(images)
+    preds = run(inputs[0])
     preds["verts"].block_until_ready()
     assert preds["verts"].shape == (n_frames, 6890, 3)
 
-    # Sustained throughput: dispatch a stream of clips without blocking
-    # between them so the device runs back-to-back (JAX async dispatch),
-    # then await the last output. Per-call blocking would add ~25 ms of
-    # tunnel round-trip latency per clip (handle marshalling for ~270
-    # param buffers) — pure harness artifact; on a local PCIe/ICI
-    # deployment dispatch costs microseconds and the pipelined number is
-    # the real one. Alternating two input buffers guards against any
-    # dispatch-level result caching on identical calls.
-    best = float("inf")
-    iters = 6
-    for _ in range(3):
+    # Sustained throughput, fetch-verified (CLAUDE.md timing rules):
+    # dispatch a stream of clips back-to-back (JAX async dispatch — on
+    # a local deployment dispatch costs microseconds, and per-call
+    # blocking here would add ~25 ms of tunnel round trip each), end
+    # each timed block with a REAL scalar fetch (block_until_ready is
+    # not trustworthy on every runtime), and difference two block
+    # lengths to cancel the fetch round trip and pipeline fill.
+    # Distinct input per dispatch within a block guards against
+    # dispatch-level result caching.
+    def run_block(iters):
         t0 = time.time()
         for i in range(iters):
-            preds = run(images_timed if i % 2 == 0 else images)
-        preds["verts"].block_until_ready()
-        dt = (time.time() - t0) / iters
-        best = min(best, dt)
+            preds = run(inputs[i % len(inputs)])
+        checksum = float(jnp.sum(preds["verts"]))
+        assert np.isfinite(checksum)
+        return time.time() - t0, preds
+
+    diffs = []
+    for _ in range(3):
+        t_short, _ = run_block(2)
+        t_long, preds = run_block(8)
+        diffs.append((t_long - t_short) / 6)
+    best = float(np.median(diffs))
     fps = n_frames / best
 
     # Fetch only scalar checksums (tiny transfer).
