@@ -79,12 +79,15 @@ def main():
     # each timed block with a REAL scalar fetch (block_until_ready is
     # not trustworthy on every runtime), and difference two block
     # lengths to cancel the fetch round trip and pipeline fill.
-    # Distinct input per dispatch within a block guards against
-    # dispatch-level result caching.
+    # Globally advancing input index: no dispatch reuses the input of
+    # a recent one (guards against dispatch-level result caching).
+    cursor = [0]
+
     def run_block(iters):
         t0 = time.time()
-        for i in range(iters):
-            preds = run(inputs[i % len(inputs)])
+        for _ in range(iters):
+            preds = run(inputs[cursor[0] % len(inputs)])
+            cursor[0] += 1
         checksum = float(jnp.sum(preds["verts"]))
         assert np.isfinite(checksum)
         return time.time() - t0, preds
