@@ -220,16 +220,19 @@ def test_groups_per_step_chunking_matches_single_batch():
     phi = RNG.randn(n, 160).astype(np.float32) * 0.5
 
     outs = {}
-    for gps in (2, 12):
+    # gps=8 does NOT divide the 12-group count: the predictor must run
+    # the largest fitting divisor (6), not one 12-group mega-step.
+    for gps in (2, 8, 12):
         pred = HmmrPredictor(
             model, variables=None, smpl=smpl, batch_size=b,
             seq_length=t, groups_per_step=gps,
         )
         outs[gps] = pred.predict_all_images(phi)
-    for k in outs[2]:
-        np.testing.assert_allclose(
-            outs[2][k], outs[12][k], atol=1e-6, err_msg=k
-        )
+    for gps in (8, 12):
+        for k in outs[2]:
+            np.testing.assert_allclose(
+                outs[2][k], outs[gps][k], atol=1e-6, err_msg=f"{gps}:{k}"
+            )
     want = reference_predict_all_images(model, smpl, phi, b, t)
     for k in sorted(want):
         np.testing.assert_allclose(
