@@ -295,6 +295,10 @@ class _ChumpyStub:
                 return val.r
         raise ValueError("Cannot extract array from chumpy stub")
 
+    @property
+    def shape(self):  # chumpy.Ch exposes the wrapped array's shape
+        return self.r.shape
+
 
 class _SmplUnpickler(pickle.Unpickler):
     def find_class(self, module, name):

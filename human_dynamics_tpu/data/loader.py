@@ -163,6 +163,14 @@ class ExampleStream:
                 or ne.count("mosh/poses") != n * 72
                 or ne.count("mosh/gt3ds") != n * 42):
             return None
+        # Optional face/toe keypoints: absent is fine, but a present
+        # list with a nonstandard per-frame stride must also fall back
+        # (otherwise the reshape below raises in the prefetch worker).
+        n_face = ne.count("image/face_pts")
+        n_toe = ne.count("image/toe_pts")
+        if (n_face > 0 and n_face != n * 15) or (
+                n_toe > 0 and n_toe != n * 18):
+            return None
         window = pick_window(n, self.t, self.rng)
         s, e = window.start, window.stop
         w = e - s

@@ -104,6 +104,16 @@ class HmmrPredictor:
         # `variables` (the window tail never binds it).
         self.int8_encoder = int8_encoder
         self._int8_qp = None
+        if int8_encoder:
+            import warnings
+
+            warnings.warn(
+                "int8_encoder is measured ~25% SLOWER than bf16_encoder "
+                "on TPU v5e via XLA (quant/dequant does not fuse into "
+                "integer-conv epilogues; see models/resnet_int8.py). "
+                "Enable it for weight memory, not speed.",
+                RuntimeWarning, stacklevel=2,
+            )
         if int8_encoder and variables is not None:
             from human_dynamics_tpu.models.resnet_int8 import (
                 prepare_int8_params,

@@ -18,9 +18,10 @@ Design notes:
 - Results resolve as *device* arrays by default: the caller decides
   what (if anything) to fetch. `as_numpy=True` fetches on the
   dispatcher thread — fine locally, slow through a tunnel (CLAUDE.md).
-- The predictor buckets window/chunk counts to powers of two, so mixed
-  clip lengths reuse a handful of compiled programs; the first request
-  of a new bucket pays that compile once per process.
+- The predictor buckets window/chunk counts to the {2^k, 3*2^k} grid
+  (``HmmrPredictor._bucket``), so mixed clip lengths reuse a handful of
+  compiled programs; the first request of a new bucket pays that
+  compile once per process.
 - Errors in a request resolve only that request's future; the service
   keeps running. `close()` drains the queue and joins the thread.
 
@@ -88,9 +89,11 @@ class PredictionService:
         with self._close_lock:
             if self._closed:
                 raise RuntimeError("PredictionService is closed")
+            # Count before enqueueing so a fast dispatcher can never
+            # make a concurrent stats() read completed > submitted.
+            with self._lock:
+                self._stats["submitted"] += 1
             self._queue.put((fut, frames, phi))
-        with self._lock:
-            self._stats["submitted"] += 1
         return fut
 
     def stats(self) -> Dict[str, int]:

@@ -46,7 +46,7 @@ fp32/bf16 paths remain the parity-bearing defaults.
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -146,7 +146,58 @@ def _conv_s8(xq: jax.Array, wq: jax.Array, stride: int) -> jax.Array:
     )
 
 
-def apply_int8(qp: Dict[str, jax.Array], images: jax.Array) -> jax.Array:
+def calibrate_int8_scales(
+    qp: Dict[str, jax.Array], images: jax.Array, margin: float = 1.0
+) -> Dict[str, jax.Array]:
+    """Observe per-layer activation maxima for the static-scale path.
+
+    Runs the dynamic-quant trunk on a calibration batch and records the
+    per-tensor scales it computed (3 scalars per bottleneck unit:
+    preact / conv1 / conv2 outputs). Feed several batches and reduce
+    with ``merge_calibrations``. ``margin`` (>1 guards outliers at the
+    cost of resolution) multiplies every scale.
+    """
+    scales: Dict[str, jax.Array] = {}
+    apply_int8(qp, images, _observe=scales)
+    if margin != 1.0:
+        scales = {k: v * margin for k, v in scales.items()}
+    return scales
+
+
+def merge_calibrations(*scale_dicts) -> Dict[str, jax.Array]:
+    """Elementwise max across per-batch calibration dicts."""
+    out = dict(scale_dicts[0])
+    for d in scale_dicts[1:]:
+        for k, v in d.items():
+            out[k] = jnp.maximum(out[k], v)
+    return out
+
+
+def apply_int8_static(
+    qp: Dict[str, jax.Array],
+    scales: Dict[str, jax.Array],
+    images: jax.Array,
+) -> jax.Array:
+    """Static-scale int8 trunk: requant fused into conv epilogues.
+
+    The dynamic path (``apply_int8``) is ~25% slower than bf16 because
+    every activation re-quantization needs a max|x| REDUCTION over the
+    conv output — XLA must materialize the tensor, reduce it, then run
+    a separate quantize pass (~2 extra HBM round trips per conv). With
+    calibrated static scales the requant is pure elementwise and fuses
+    into the integer conv's epilogue, which `scripts/probe_mxu.py`
+    measured at 366-405 TOP/s (~2x bf16) on the stage convs. scales
+    comes from ``calibrate_int8_scales``.
+    """
+    return apply_int8(qp, images, _static_scales=scales)
+
+
+def apply_int8(
+    qp: Dict[str, jax.Array],
+    images: jax.Array,
+    _observe: Optional[Dict[str, jax.Array]] = None,
+    _static_scales: Optional[Dict[str, jax.Array]] = None,
+) -> jax.Array:
     """(N, H, W, 3) [-1, 1] images -> (N, 2048) fp32 phi."""
     x = images.astype(jnp.bfloat16)
     # Root conv2d_same 7x7/2 (bf16) + 3x3/2 SAME maxpool.
@@ -168,6 +219,17 @@ def apply_int8(qp: Dict[str, jax.Array], images: jax.Array) -> jax.Array:
         )
         return jnp.maximum(y, 0) if relu else y
 
+    def requant(y_i32, s_x, scale, bias, s_out, relu):
+        # Static-scale path: dequant + next-layer quantization composed
+        # into ONE elementwise epilogue on the int32 conv output (no
+        # reduction, no intermediate bf16 tensor) — this is what lets
+        # XLA fuse it into the integer conv like probe_mxu's shift.
+        y = y_i32.astype(jnp.float32) * (
+            s_x * scale / s_out
+        ) + bias / s_out
+        lo = 0.0 if relu else -127.0  # relu folds into the low clamp
+        return jnp.clip(jnp.round(y), lo, 127.0).astype(jnp.int8)
+
     for bi, (num_units, depth, _db) in enumerate(BLOCKS, start=1):
         last_block = bi == len(BLOCKS)
         for ui in range(1, num_units + 1):
@@ -180,7 +242,17 @@ def apply_int8(qp: Dict[str, jax.Array], images: jax.Array) -> jax.Array:
                 + qp[pre + "preact/B"].astype(jnp.bfloat16),
                 0,
             )
-            pq, s_p = _quant_act(preact)
+            if _static_scales is not None:
+                s_p = _static_scales[pre + "preact"]
+                pq = jnp.clip(
+                    jnp.round(
+                        preact.astype(jnp.float32) / s_p
+                    ), 0, 127,
+                ).astype(jnp.int8)
+            else:
+                pq, s_p = _quant_act(preact)
+                if _observe is not None:
+                    _observe[pre + "preact"] = s_p
 
             if depth == depth_in:
                 shortcut = (
@@ -194,13 +266,28 @@ def apply_int8(qp: Dict[str, jax.Array], images: jax.Array) -> jax.Array:
                 )
 
             y = _conv_s8(pq, qp[pre + "conv1/wq"], 1)
-            h = dequant(y, s_p, qp[pre + "conv1/scale"],
-                        qp[pre + "conv1/bias"], relu=True)
-            hq, s_h = _quant_act(h)
+            if _static_scales is not None:
+                s_h = _static_scales[pre + "conv1"]
+                hq = requant(y, s_p, qp[pre + "conv1/scale"],
+                             qp[pre + "conv1/bias"], s_h, relu=True)
+            else:
+                h = dequant(y, s_p, qp[pre + "conv1/scale"],
+                            qp[pre + "conv1/bias"], relu=True)
+                hq, s_h = _quant_act(h)
+                if _observe is not None:
+                    _observe[pre + "conv1"] = s_h
             y = _conv_s8(hq, qp[pre + "conv2/wq"], stride)
-            h = dequant(y, s_h, qp[pre + "conv2/scale"],
-                        qp[pre + "conv2/bias"], relu=True)
-            hq, s_h = _quant_act(h)
+            if _static_scales is not None:
+                s_h2 = _static_scales[pre + "conv2"]
+                hq = requant(y, s_h, qp[pre + "conv2/scale"],
+                             qp[pre + "conv2/bias"], s_h2, relu=True)
+                s_h = s_h2
+            else:
+                h = dequant(y, s_h, qp[pre + "conv2/scale"],
+                            qp[pre + "conv2/bias"], relu=True)
+                hq, s_h = _quant_act(h)
+                if _observe is not None:
+                    _observe[pre + "conv2"] = s_h
             y = _conv_s8(hq, qp[pre + "conv3/wq"], 1)
             residual = dequant(y, s_h, qp[pre + "conv3/scale"],
                                qp[pre + "conv3/bias"], relu=False)

@@ -49,6 +49,7 @@ const uint8_t* find_feature(
         if (!read_varint(data, len, &pos, &tag)) return nullptr;
         if ((tag >> 3) != 1 || (tag & 7) != 2) return nullptr;
         if (!read_varint(data, len, &pos, &flen)) return nullptr;
+        if (pos + (long)flen > len) return nullptr;  // truncated buffer
         const uint8_t* fdata = data + pos;
         long fend = (long)flen;
         pos += (long)flen;
@@ -58,6 +59,7 @@ const uint8_t* find_feature(
             uint64_t etag, elen;
             if (!read_varint(fdata, fend, &fpos, &etag)) return nullptr;
             if (!read_varint(fdata, fend, &fpos, &elen)) return nullptr;
+            if (fpos + (long)elen > fend) return nullptr;  // truncated
             const uint8_t* entry = fdata + fpos;
             long eend = (long)elen;
             fpos += (long)elen;
@@ -71,6 +73,7 @@ const uint8_t* find_feature(
                 uint64_t t, l;
                 if (!read_varint(entry, eend, &epos, &t)) return nullptr;
                 if (!read_varint(entry, eend, &epos, &l)) return nullptr;
+                if (epos + (long)l > eend) return nullptr;  // truncated
                 if ((t >> 3) == 1) { k = entry + epos; klen = (long)l; }
                 else if ((t >> 3) == 2) { v = entry + epos; vlen = (long)l; }
                 epos += (long)l;
@@ -94,6 +97,7 @@ const uint8_t* feature_list(
     uint64_t tag, len;
     if (!read_varint(f, flen, &pos, &tag)) return nullptr;
     if (!read_varint(f, flen, &pos, &len)) return nullptr;
+    if (pos + (long)len > flen) return nullptr;  // truncated buffer
     *kind = (int)(tag >> 3);
     *out_len = (long)len;
     return f + pos;
@@ -163,12 +167,14 @@ long example_get_floats(
         if (wire == 2) {  // packed
             uint64_t plen;
             if (!read_varint(l, llen, &pos, &plen)) return -1;
+            if (pos + (long)plen > llen) return -1;  // truncated payload
             long n = (long)plen / 4;
             if (count + n > max_out) n = max_out - count;
             memcpy(out + count, l + pos, n * 4);
             count += n;
             pos += (long)plen;
         } else if (wire == 5) {  // single float
+            if (pos + 4 > llen) return -1;  // truncated payload
             if (count < max_out) memcpy(out + count, l + pos, 4);
             count += 1;
             pos += 4;
@@ -205,6 +211,7 @@ long example_get_floats_range(
         if (wire == 2) {  // packed chunk
             uint64_t plen;
             if (!read_varint(l, llen, &pos, &plen)) return -1;
+            if (pos + (long)plen > llen) return -1;  // truncated payload
             long n = (long)plen / 4;
             long lo = offset > idx ? offset - idx : 0;   // skip within chunk
             if (lo < n) {
@@ -216,6 +223,7 @@ long example_get_floats_range(
             idx += n;
             pos += (long)plen;
         } else if (wire == 5) {
+            if (pos + 4 > llen) return -1;  // truncated payload
             if (idx >= offset && count < max_out) {
                 memcpy(out + count, l + pos, 4);
                 count++;
@@ -251,6 +259,7 @@ long example_get_ints(
             uint64_t plen;
             if (!read_varint(l, llen, &pos, &plen)) return -1;
             long end = pos + (long)plen;
+            if (end > llen) return -1;  // truncated payload
             while (pos < end) {
                 uint64_t v;
                 if (!read_varint(l, llen, &pos, &v)) return -1;
@@ -287,11 +296,13 @@ long example_get_count(const uint8_t* data, long len, const char* key) {
         if (wire == 2 && kind == 2) {
             uint64_t plen;
             if (!read_varint(l, llen, &pos, &plen)) return -1;
+            if (pos + (long)plen > llen) return -1;  // truncated payload
             count += (long)plen / 4;
             pos += (long)plen;
         } else if (wire == 2) {  // packed varints or bytes entry
             uint64_t plen;
             if (!read_varint(l, llen, &pos, &plen)) return -1;
+            if (pos + (long)plen > llen) return -1;  // truncated payload
             if (kind == 1) {
                 count += 1;
                 pos += (long)plen;
@@ -308,6 +319,7 @@ long example_get_count(const uint8_t* data, long len, const char* key) {
             if (!read_varint(l, llen, &pos, &v)) return -1;
             count++;
         } else if (wire == 5) {
+            if (pos + 4 > llen) return -1;  // truncated payload
             count++;
             pos += 4;
         } else {

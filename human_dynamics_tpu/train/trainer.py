@@ -178,6 +178,26 @@ def make_optimizers(config: Config):
 # ---------------------------------------------------------------------------
 
 
+def loss_weight_table(config: Config) -> Dict[str, float]:
+    """Loss-name -> weight map (gather_losses, trainer_sequence_fc.py:
+    700-750). The single source of truth: both ``compute_losses``'s
+    weighted sums and the Trainer's loss-proportion report use this, so
+    the proportions are guaranteed to reflect the optimized objective."""
+    weights = {
+        "d_pose": config.d_lw_pose,
+        "e_const": config.e_lw_const,
+        "e_pose": config.e_lw_pose,
+        "e_shape": config.e_lw_shape,
+        "e_hallucinate": config.e_lw_hallucinate,
+    }
+    for suffix in ("", "_static", "_dt_future", "_dt_past", "_hal",
+                   "_hal_dt_future", "_hal_dt_past"):
+        weights["e_kp" + suffix] = config.e_lw_kp
+        weights["e_joints" + suffix] = config.e_lw_joints
+        weights["e_smpl" + suffix] = config.e_lw_smpl
+    return weights
+
+
 def _delta_slices(dt: int):
     """gt/pred time alignment for a dt head
     (trainer_sequence_fc.py:867-884)."""
@@ -357,18 +377,7 @@ def compute_losses(
     losses["e_shape"] = L.shape_prior_loss(shapes_fake)
 
     # ---- Weighted sums (gather_losses, trainer_sequence_fc.py:700-750).
-    weights = {
-        "d_pose": config.d_lw_pose,
-        "e_const": config.e_lw_const,
-        "e_pose": config.e_lw_pose,
-        "e_shape": config.e_lw_shape,
-        "e_hallucinate": config.e_lw_hallucinate,
-    }
-    for suffix in ("", "_static", "_dt_future", "_dt_past", "_hal",
-                   "_hal_dt_future", "_hal_dt_past"):
-        weights["e_kp" + suffix] = config.e_lw_kp
-        weights["e_joints" + suffix] = config.e_lw_joints
-        weights["e_smpl" + suffix] = config.e_lw_smpl
+    weights = loss_weight_table(config)
 
     e_loss = jnp.zeros(())
     d_loss = jnp.zeros(())
@@ -495,18 +504,7 @@ class Trainer:
             self.maybe_restore(config.model_dir)
 
     def _loss_weights(self) -> Dict[str, float]:
-        c = self.config
-        weights = {
-            "d_pose": c.d_lw_pose, "e_const": c.e_lw_const,
-            "e_pose": c.e_lw_pose, "e_shape": c.e_lw_shape,
-            "e_hallucinate": c.e_lw_hallucinate,
-        }
-        for sfx in ("", "_static", "_dt_future", "_dt_past", "_hal",
-                    "_hal_dt_future", "_hal_dt_past"):
-            weights["e_kp" + sfx] = c.e_lw_kp
-            weights["e_joints" + sfx] = c.e_lw_joints
-            weights["e_smpl" + sfx] = c.e_lw_smpl
-        return weights
+        return loss_weight_table(self.config)
 
     # ------------------------------------------------------------------
     # Checkpointing (Supervisor auto-restore semantics).

@@ -134,7 +134,7 @@ def probe_convs():
                   f"{fl/per/1e12:.1f} T/s", flush=True)
 
 
-def probe_resnet(int8: bool):
+def probe_resnet(int8: bool, static: bool = False):
     from human_dynamics_tpu.models.resnet import ResNetV2_50
 
     B = 160
@@ -143,12 +143,20 @@ def probe_resnet(int8: bool):
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), images[:1])
     if int8:
         from human_dynamics_tpu.models.resnet_int8 import (
-            apply_int8, prepare_int8_params,
+            apply_int8, apply_int8_static, calibrate_int8_scales,
+            prepare_int8_params,
         )
 
         qp = jax.jit(prepare_int8_params)(variables)
         jax.block_until_ready(qp)
-        fwd = lambda x: apply_int8(qp, x)
+        if static:
+            scales = jax.jit(
+                lambda im: calibrate_int8_scales(qp, im)
+            )(images[:16])
+            jax.block_until_ready(scales)
+            fwd = lambda x: apply_int8_static(qp, scales, x)
+        else:
+            fwd = lambda x: apply_int8(qp, x)
     else:
         from human_dynamics_tpu.utils.precision import tree_bf16
 
@@ -165,7 +173,7 @@ def probe_resnet(int8: bool):
 
     c0s = [jnp.asarray(i * 1e-4, jnp.float32) for i in range(4)]
     per = _per_iter(make_body, c0s, short=8, long=40)
-    tag = "int8" if int8 else "bf16"
+    tag = ("int8-static" if static else "int8") if int8 else "bf16"
     print(f"resnet50 fwd {tag}: {per*1e3:.2f} ms/batch{B} = "
           f"{B/per:.0f} img/s = {2*4.1e9*B/per/1e12:.1f} T/s eff.",
           flush=True)
@@ -178,4 +186,5 @@ if __name__ == "__main__":
         "convs": probe_convs,
         "resnet": lambda: probe_resnet(False),
         "resnet_int8": lambda: probe_resnet(True),
+        "resnet_int8_static": lambda: probe_resnet(True, static=True),
     }[which]()

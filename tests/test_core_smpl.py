@@ -238,3 +238,125 @@ def test_optcam_stops_gradient():
 
     g = jax.grad(f)(x)
     np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-8)
+
+
+# ---------------------------------------------------------------------------
+# chumpy-pickle converter (convert_smpl_pkl). The original SMPL pkl is a
+# licensed asset; these build a bit-identical *layout* (chumpy-wrapped
+# arrays under module "chumpy.ch", scipy-sparse-like J_regressor,
+# kintree_table) with synthetic values and round-trip it.
+# ---------------------------------------------------------------------------
+
+
+class _SparseLike:
+    """Minimal scipy-sparse stand-in (has .toarray, pickles fine)."""
+
+    def __init__(self, arr):
+        self._arr = np.asarray(arr)
+
+    def toarray(self):
+        return self._arr
+
+
+def _make_chumpy_pkl(path, rng, sparse_jreg=False):
+    import pickle
+    import sys
+    import types
+
+    class Ch:
+        def __init__(self, x):
+            self.x = np.asarray(x)
+
+    mod = types.ModuleType("chumpy.ch")
+    mod.Ch = Ch
+    Ch.__module__ = "chumpy.ch"
+    Ch.__qualname__ = "Ch"
+    pkg = types.ModuleType("chumpy")
+    pkg.ch = mod
+    pkg.Ch = Ch
+    sys.modules.setdefault("chumpy", pkg)
+    sys.modules["chumpy.ch"] = mod
+
+    SparseLike = _SparseLike
+    v = 20
+    from human_dynamics_tpu.core.smpl import (
+        NUM_JOINTS, NUM_POSE_BASIS, SMPL_PARENTS,
+    )
+
+    weights = rng.rand(v, NUM_JOINTS)
+    weights /= weights.sum(axis=1, keepdims=True)  # real SMPL invariant
+    raw = {
+        "v_template": rng.randn(v, 3),
+        "shapedirs": rng.randn(v, 3, 10) * 0.03,
+        "posedirs": rng.randn(v, 3, NUM_POSE_BASIS) * 0.01,
+        "J_regressor": rng.rand(NUM_JOINTS, v),
+        "weights": weights,
+        "cocoplus_regressor": rng.rand(19, v),
+        "kintree_table": np.stack([
+            np.asarray(
+                [p if p >= 0 else 2**32 - 1 for p in SMPL_PARENTS],
+                np.int64,
+            ),
+            np.arange(NUM_JOINTS),
+        ]),
+        "f": rng.randint(0, v, (2 * v, 3)).astype(np.int64),
+    }
+    dd = {
+        "v_template": Ch(raw["v_template"]),
+        "shapedirs": Ch(raw["shapedirs"]),
+        "posedirs": Ch(raw["posedirs"]),
+        "J_regressor": (
+            SparseLike(raw["J_regressor"]) if sparse_jreg
+            else raw["J_regressor"]
+        ),
+        "weights": Ch(raw["weights"]),
+        "cocoplus_regressor": raw["cocoplus_regressor"],
+        "kintree_table": raw["kintree_table"],
+        "f": raw["f"],
+    }
+    with open(path, "wb") as f:
+        pickle.dump(dd, f, protocol=2)
+    return raw
+
+
+@pytest.mark.parametrize("sparse_jreg", [False, True])
+def test_convert_smpl_pkl_roundtrip(tmp_path, sparse_jreg):
+    from human_dynamics_tpu.core.smpl import (
+        convert_smpl_pkl, load_smpl_model, smpl_forward,
+    )
+
+    rng = np.random.RandomState(11)
+    pkl = str(tmp_path / "neutral_smpl.pkl")
+    raw = _make_chumpy_pkl(pkl, rng, sparse_jreg=sparse_jreg)
+    npz = str(tmp_path / "smpl.npz")
+    convert_smpl_pkl(pkl, npz)
+
+    dd = np.load(npz)
+    np.testing.assert_allclose(
+        dd["v_template"], raw["v_template"].astype(np.float32)
+    )
+    np.testing.assert_allclose(
+        dd["shapedirs"],
+        raw["shapedirs"].reshape(-1, 10).T.astype(np.float32),
+    )
+    np.testing.assert_allclose(
+        dd["j_regressor"], raw["J_regressor"].T.astype(np.float32)
+    )
+    np.testing.assert_allclose(
+        dd["cocoplus_regressor"],
+        raw["cocoplus_regressor"].T.astype(np.float32),
+    )
+
+    # Loads (both from npz and converting the pkl in-memory) and runs.
+    model = load_smpl_model(npz)
+    model2 = load_smpl_model(pkl)
+    assert model.parents == model2.parents
+    assert model.parents[0] == -1  # 2**32-1 root marker normalized
+    pose = jnp.zeros((2, 24, 3))
+    beta = jnp.zeros((2, 10))
+    fwd = smpl_forward(model, beta, pose)
+    assert fwd.verts.shape == (2, 20, 3)
+    assert fwd.joints.shape == (2, 19, 3)
+    np.testing.assert_allclose(
+        np.asarray(fwd.verts[0]), raw["v_template"], atol=1e-5
+    )

@@ -208,3 +208,73 @@ def test_convert_raw_end_to_end(raw_h36m, tmp_path):
     assert seq is not None
     assert seq["gt2d"].shape == (6, 25, 3)
     assert seq["gt3d"].shape == (6, 14, 3)
+
+
+# ---------------------------------------------------------------------------
+# CDF backend import branches (neither spacepy nor cdflib is installed
+# here, so these run against stub modules monkeypatched into sys.modules;
+# the npy stand-in path is covered by the tests above).
+# ---------------------------------------------------------------------------
+
+def _fake_pose():
+    return RNG.rand(1, 5, 96).astype(np.float64)
+
+
+def test_read_cdf_pose_spacepy_branch(monkeypatch, tmp_path):
+    import sys
+    import types
+
+    arr = _fake_pose()
+
+    class FakeCDF:
+        def __init__(self, path):
+            assert path.endswith(".cdf")
+
+        def __enter__(self):
+            return {"Pose": arr}
+
+        def __exit__(self, *exc):
+            return False
+
+    pycdf = types.ModuleType("spacepy.pycdf")
+    pycdf.CDF = FakeCDF
+    spacepy = types.ModuleType("spacepy")
+    spacepy.pycdf = pycdf
+    monkeypatch.setitem(sys.modules, "spacepy", spacepy)
+    monkeypatch.setitem(sys.modules, "spacepy.pycdf", pycdf)
+
+    got = read_pose_file(str(tmp_path / "D3_Positions.cdf"), dim=3)
+    np.testing.assert_allclose(got, arr[0].reshape(5, 32, 3))
+
+
+def test_read_cdf_pose_cdflib_branch(monkeypatch, tmp_path):
+    import sys
+    import types
+
+    arr = _fake_pose()
+
+    class FakeCDF:
+        def __init__(self, path):
+            assert path.endswith(".cdf")
+
+        def varget(self, name):
+            assert name == "Pose"
+            return arr
+
+    cdflib = types.ModuleType("cdflib")
+    cdflib.CDF = FakeCDF
+    # spacepy absent: None in sys.modules makes the import raise.
+    monkeypatch.setitem(sys.modules, "spacepy", None)
+    monkeypatch.setitem(sys.modules, "cdflib", cdflib)
+
+    got = read_pose_file(str(tmp_path / "D3_Positions.cdf"), dim=3)
+    np.testing.assert_allclose(got, arr[0].reshape(5, 32, 3))
+
+
+def test_read_cdf_pose_no_backend_message(monkeypatch, tmp_path):
+    import sys
+
+    monkeypatch.setitem(sys.modules, "spacepy", None)
+    monkeypatch.setitem(sys.modules, "cdflib", None)
+    with pytest.raises(ImportError, match="spacepy or cdflib"):
+        read_pose_file(str(tmp_path / "poses.cdf"), dim=3)

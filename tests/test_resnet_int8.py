@@ -96,7 +96,13 @@ def test_predictor_int8_end_to_end():
     )
     kw = dict(batch_size=2, seq_length=20, encode_chunk=16)
     base = HmmrPredictor(model, variables, smpl, **kw)
-    fast = HmmrPredictor(model, variables, smpl, int8_encoder=True, **kw)
+    # Enabling int8 must warn at runtime that it is a memory (not
+    # speed) knob on v5e — the measured-slower caveat lives in code,
+    # not just a comment.
+    with pytest.warns(RuntimeWarning, match="SLOWER"):
+        fast = HmmrPredictor(
+            model, variables, smpl, int8_encoder=True, **kw
+        )
     want = base.predict_all_images(images)
     got = fast.predict_all_images(images)
     assert set(got) == set(want)
@@ -105,3 +111,37 @@ def test_predictor_int8_end_to_end():
     assert np.isfinite(got["omegas"]).all()
     diff = np.abs(got["omegas"] - want["omegas"]).max()
     assert diff < 0.5, diff
+
+
+def test_static_scale_path_matches_dynamic(trunk):
+    """Calibrate-then-static must track the dynamic path closely (same
+    quant grid when the calibration batch IS the inference batch) and
+    stay near fp32."""
+    from human_dynamics_tpu.models.resnet_int8 import (
+        apply_int8_static, calibrate_int8_scales, merge_calibrations,
+    )
+
+    model, variables, x = trunk
+    qp = prepare_int8_params(variables)
+    scales = calibrate_int8_scales(qp, x)
+    assert len(scales) == 16 * 3  # preact/conv1/conv2 per unit
+
+    got = np.asarray(apply_int8_static(qp, scales, x))
+    dyn = np.asarray(apply_int8(qp, x))
+    want = np.asarray(model.apply(variables, x, train=False))
+    cos = np.sum(got * want, axis=1) / (
+        np.linalg.norm(got, axis=1) * np.linalg.norm(want, axis=1)
+    )
+    assert np.all(cos > 0.98), cos
+    rel = np.linalg.norm(got - dyn) / np.linalg.norm(dyn)
+    assert rel < 0.1, rel
+
+    # Margin scales every entry; merge takes the elementwise max.
+    s2 = calibrate_int8_scales(qp, x, margin=2.0)
+    merged = merge_calibrations(scales, s2)
+    k = next(iter(scales))
+    np.testing.assert_allclose(
+        np.asarray(merged[k]), np.asarray(s2[k])
+    )
+    got2 = np.asarray(apply_int8_static(qp, merged, x))
+    assert np.isfinite(got2).all()

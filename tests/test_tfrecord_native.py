@@ -63,3 +63,29 @@ def test_native_parses_tf_serialization():
     ex = NativeExample(ex_tf.SerializeToString())
     np.testing.assert_allclose(ex.floats("phi"), floats, rtol=1e-7)
     np.testing.assert_array_equal(ex.ints("n"), [42])
+
+
+def test_truncated_example_never_overreads():
+    """Every possible truncation of a serialized Example either fails
+    cleanly (None) or returns a correct prefix — the native parser
+    bounds-checks all declared lengths against the actual buffer."""
+    from human_dynamics_tpu.data.tfrecord import encode_example
+    from human_dynamics_tpu.data.tfrecord_native import NativeExample
+
+    ser = encode_example({
+        "image/phis": np.arange(40, dtype=np.float32),
+        "meta/N": np.array([4], np.int64),
+    })
+    full = NativeExample(ser)
+    assert full.count("image/phis") == 40
+    for cut in range(1, len(ser)):
+        t = NativeExample(ser[:cut])
+        f = t.floats("image/phis")
+        if f is not None:
+            assert np.allclose(f, np.arange(len(f))), cut
+        r = t.floats_range("image/phis", 10, 20)
+        if r is not None:
+            assert np.allclose(r, np.arange(10, 10 + len(r))), cut
+        ints = t.ints("meta/N")
+        if ints is not None and len(ints):
+            assert ints[0] == 4, cut
