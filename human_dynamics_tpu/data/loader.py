@@ -56,28 +56,68 @@ def get_all_files(
     return files
 
 
+def _item_nbytes(item) -> int:
+    """Approximate host-RAM footprint of one buffered example."""
+    if not isinstance(item, dict):
+        return 64
+    total = 0
+    for v in item.values():
+        if isinstance(v, np.ndarray):
+            total += v.nbytes
+        elif isinstance(v, (list, tuple)):
+            total += sum(
+                len(b) if isinstance(b, (bytes, bytearray))
+                else getattr(b, "nbytes", 64)
+                for b in v
+            )
+        elif isinstance(v, (bytes, bytearray)):
+            total += len(v)
+        else:
+            total += 64
+    return total
+
+
 def shuffle_buffered(
     iterator: Iterator,
     rng: np.random.RandomState,
     capacity: int = 300,
+    max_bytes: Optional[int] = None,
 ) -> Iterator:
     """Buffered shuffle: yields items in randomized order from a rolling
     buffer of `capacity` items, decorrelating consecutive tubes that
     come from the same shard (shuffle_batch with capacity ~300,
-    data_loader_sequence.py:145-152)."""
+    data_loader_sequence.py:145-152).
+
+    ``max_bytes`` additionally bounds the buffer's host-RAM footprint
+    (used by image mode, where items carry jpeg byte strings): when a
+    new item would push the total over budget, random items are yielded
+    first until it fits, so RSS stays bounded regardless of tube size.
+    """
     if capacity <= 1:
         yield from iterator
         return
     buf: List = []
+    sizes: List[int] = []
+    total = 0
     for item in iterator:
-        if len(buf) < capacity:
-            buf.append(item)
-            continue
-        idx = rng.randint(len(buf))
-        out, buf[idx] = buf[idx], item
-        yield out
-    rng.shuffle(buf)
-    yield from buf
+        sz = _item_nbytes(item) if max_bytes is not None else 0
+        while buf and (
+            len(buf) >= capacity
+            or (max_bytes is not None and total + sz > max_bytes)
+        ):
+            idx = rng.randint(len(buf))
+            out = buf[idx]
+            buf[idx] = buf[-1]
+            sizes[idx] = sizes[-1]
+            buf.pop()
+            total -= sizes.pop()
+            yield out
+        buf.append(item)
+        sizes.append(sz)
+        total += sz
+    order = rng.permutation(len(buf))
+    for idx in order:
+        yield buf[idx]
 
 
 def pick_window(n: int, t: int, rng: np.random.RandomState) -> slice:
@@ -110,6 +150,7 @@ class ExampleStream:
         num_hosts: int = 1,
         decode_images: bool = False,
         shuffle_buffer: int = 300,
+        shuffle_bytes: Optional[int] = None,
     ):
         if not files:
             raise FileNotFoundError("No tfrecord shards found")
@@ -118,6 +159,9 @@ class ExampleStream:
         self.num_kps = num_kps
         self.decode_images = decode_images
         self.shuffle_buffer = shuffle_buffer
+        # Host-RAM cap for the shuffle buffer (image mode: items hold
+        # compressed jpegs; None = count-only bound).
+        self.shuffle_bytes = shuffle_bytes
         self.rng = np.random.RandomState(seed + host_id)
 
     def _raw_stream(self) -> Iterator[Dict[str, np.ndarray]]:
@@ -217,9 +261,14 @@ class ExampleStream:
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         # Within-shard shuffle (shuffle_batch parity): without it,
         # consecutive batches stream tubes in file order per shard.
-        return shuffle_buffered(
-            self._raw_stream(), self.rng, self.shuffle_buffer
+        # Image-mode items pass through COMPRESSED (_jpegs) and are
+        # decoded on the way out, so capacity matches the reference's
+        # ~300 tubes within a bounded RSS.
+        shuffled = shuffle_buffered(
+            self._raw_stream(), self.rng, self.shuffle_buffer,
+            max_bytes=self.shuffle_bytes,
         )
+        return (self._finalize(d) for d in shuffled)
 
     def _make_example(self, ex, window) -> Dict[str, np.ndarray]:
         t = self.t
@@ -235,10 +284,26 @@ class ExampleStream:
         if ex.phis is not None:
             out["phis"] = _pad_to_t(ex.phis[window], t).astype(np.float32)
         if self.decode_images and ex.image_datas is not None:
-            # Image-mode training (precomputed_phi=False): decode only
-            # the sampled window's jpegs; labels stay in crop pixel
-            # coords (3, K) for the on-device tube augmentation
-            # (read_data, data_loader_sequence.py:298-308).
+            # Image-mode training (precomputed_phi=False): carry the
+            # sampled window's jpegs COMPRESSED through the shuffle
+            # buffer (so capacity can match the reference's ~300 tubes
+            # at ~1-2 MB/item instead of ~20 MB decoded) and decode at
+            # pop time in _finalize. Labels stay in crop pixel coords
+            # (3, K) for the on-device tube augmentation (read_data,
+            # data_loader_sequence.py:298-308).
+            out["_jpegs"] = [bytes(d) for d in ex.image_datas[window]]
+            out["labels_raw"] = _pad_to_t(
+                np.transpose(ex.kps[window], (0, 2, 1)), t
+            )[:, :, :self.num_kps].astype(np.float32)
+            out["centers"] = _pad_to_t(
+                ex.centers[window].astype(np.float32), t
+            )
+        return out
+
+    def _finalize(self, out: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        """Decode deferred jpegs after the shuffle buffer."""
+        jpegs = out.pop("_jpegs", None)
+        if jpegs is not None:
             import cv2
 
             imgs = np.stack([
@@ -248,15 +313,9 @@ class ExampleStream:
                     ),
                     cv2.COLOR_BGR2RGB,
                 )
-                for d in ex.image_datas[window]
+                for d in jpegs
             ]).astype(np.float32) / 255.0
-            out["images"] = _pad_to_t(imgs, t)
-            out["labels_raw"] = _pad_to_t(
-                np.transpose(ex.kps[window], (0, 2, 1)), t
-            )[:, :, :self.num_kps].astype(np.float32)
-            out["centers"] = _pad_to_t(
-                ex.centers[window].astype(np.float32), t
-            )
+            out["images"] = _pad_to_t(imgs, self.t)
         return out
 
 
@@ -393,18 +452,20 @@ class TrainDataPipeline:
             files_2d, files_3d = split_list(files_2d)
 
         decode_images = not config.precomputed_phi
-        # Shuffle-buffer parity with shuffle_batch's ~300 capacity for
-        # phi tubes; image tubes are ~20 MB each, so bound host RAM.
-        shuffle_buffer = 16 if decode_images else 300
+        # Shuffle-buffer parity with shuffle_batch's ~300 capacity in
+        # BOTH modes (data_loader_sequence.py:145-152). Image tubes ride
+        # the buffer jpeg-compressed (~1-2 MB vs ~20 MB decoded); the
+        # byte cap bounds host RSS per stream even for fat tubes.
+        shuffle_bytes = (1 << 30) if decode_images else None
         self.stream_2d = iter(ExampleStream(
             files_2d, config.T, config.num_kps, config.seed,
             host_id, num_hosts, decode_images=decode_images,
-            shuffle_buffer=shuffle_buffer,
+            shuffle_buffer=300, shuffle_bytes=shuffle_bytes,
         ))
         self.stream_3d = iter(ExampleStream(
             files_3d, config.T, config.num_kps, config.seed + 1,
             host_id, num_hosts, decode_images=decode_images,
-            shuffle_buffer=shuffle_buffer,
+            shuffle_buffer=300, shuffle_bytes=shuffle_bytes,
         ))
         self._aug_rng_counter = 0
         self.mocap = iter(MocapStream(

@@ -78,6 +78,7 @@ class HmmrPredictor:
         use_fused_smpl: bool = False,
         bf16_encoder: bool = False,
         int8_encoder: bool = False,
+        int8_calibration=None,
         bf16_temporal: bool = False,
         groups_per_step: int = 8,
         encode_chunk: int = 120,
@@ -104,25 +105,42 @@ class HmmrPredictor:
         # `variables` (the window tail never binds it).
         self.int8_encoder = int8_encoder
         self._int8_qp = None
-        if int8_encoder:
+        if int8_encoder and int8_calibration is None:
             import warnings
 
             warnings.warn(
-                "int8_encoder is measured ~25% SLOWER than bf16_encoder "
-                "on TPU v5e via XLA (quant/dequant does not fuse into "
-                "integer-conv epilogues; see models/resnet_int8.py). "
-                "Enable it for weight memory, not speed.",
+                "int8_encoder WITHOUT int8_calibration uses dynamic "
+                "activation scales, measured ~25% SLOWER than "
+                "bf16_encoder on TPU v5e via XLA (the per-conv max "
+                "reduction blocks epilogue fusion; see "
+                "models/resnet_int8.py). Pass a calibration batch for "
+                "the static-scale fast path, or enable it only for "
+                "weight memory.",
                 RuntimeWarning, stacklevel=2,
             )
         if int8_encoder and variables is not None:
             from human_dynamics_tpu.models.resnet_int8 import (
-                prepare_int8_params,
+                calibrate_int8_scales, prepare_int8_params,
             )
 
             self._int8_qp = jax.jit(prepare_int8_params)({
                 "params": variables["params"]["resnet_v2_50"],
                 "batch_stats": variables["batch_stats"]["resnet_v2_50"],
             })
+            if int8_calibration is not None:
+                # Static per-layer activation scales: observed once on
+                # the calibration images, then every requant fuses into
+                # its conv epilogue (the fast path; resnet_int8.py).
+                # Stored inside the qp dict (calib/ prefix) so the
+                # fused-predict jit carries one pytree.
+                calib = jnp.asarray(int8_calibration, jnp.float32)
+                scales = jax.jit(
+                    lambda qp, im: calibrate_int8_scales(qp, im)
+                )(self._int8_qp, calib)
+                self._int8_qp = {
+                    **self._int8_qp,
+                    **{"calib/" + k: v for k, v in scales.items()},
+                }
         # bf16 temporal encoder + IEF heads (the non-resnet matmuls of the
         # window tail; GroupNorm stats stay fp32 inside flax). Omegas are
         # cast back to fp32 before SMPL decode. Same accuracy caveat.
@@ -394,12 +412,24 @@ class HmmrPredictor:
             )
             if self.int8_encoder:
                 from human_dynamics_tpu.models.resnet_int8 import (
-                    apply_int8,
+                    apply_int8, apply_int8_static,
                 )
 
-                phi = jax.lax.map(
-                    lambda im: apply_int8(enc_qp, im), chunks
-                ).reshape(n_chunks * chunk, -1)[:n]
+                scales = {
+                    k[len("calib/"):]: v
+                    for k, v in enc_qp.items() if k.startswith("calib/")
+                }
+                qp = {
+                    k: v for k, v in enc_qp.items()
+                    if not k.startswith("calib/")
+                }
+                encode = (
+                    (lambda im: apply_int8_static(qp, scales, im))
+                    if scales else (lambda im: apply_int8(qp, im))
+                )
+                phi = jax.lax.map(encode, chunks).reshape(
+                    n_chunks * chunk, -1
+                )[:n]
             else:
                 enc_vars = variables
                 if self.bf16_encoder:

@@ -160,3 +160,100 @@ def test_freeze_phi_keeps_resnet_fixed(image_data_dir):
     assert opt_leaves, "optimizer state unexpectedly empty"
     for path, _ in opt_leaves:
         assert "resnet_v2_50" not in jax.tree_util.keystr(path)
+
+
+def test_image_stream_defers_decode_and_bounds_bytes(image_data_dir):
+    """Image-mode shuffle-buffer parity: tubes ride the buffer as
+    compressed jpegs, capacity is ~300 (not 16), the byte budget keeps
+    RSS bounded, and popped items decode correctly."""
+    import os as _os
+
+    from human_dynamics_tpu.data.loader import (
+        ExampleStream, _item_nbytes, get_all_files, shuffle_buffered,
+    )
+
+    files = get_all_files(image_data_dir, ("insta_variety",))
+    stream = ExampleStream(
+        files, t=8, seed=0, decode_images=True,
+        shuffle_buffer=300, shuffle_bytes=1 << 30,
+    )
+    # Raw items are compressed (jpeg bytes, no decoded images).
+    raw = next(stream._raw_stream())
+    assert "_jpegs" in raw and "images" not in raw
+    assert all(isinstance(b, bytes) for b in raw["_jpegs"])
+    # A compressed tube is far smaller than its decoded form.
+    decoded_size = 8 * 96 * 96 * 3 * 4
+    assert _item_nbytes(raw) < decoded_size / 3
+    # Iterating decodes: images appear, _jpegs gone.
+    item = next(iter(stream))
+    assert "images" in item and "_jpegs" not in item
+    assert item["images"].shape == (8, 96, 96, 3)
+
+    # Byte budget: with a cap of ~2.5 items, the buffer never holds
+    # more than that many (it evicts before inserting).
+    sizes = []
+
+    class Probe(dict):
+        pass
+
+    def gen():
+        for i in range(50):
+            d = Probe(idx=np.full(1000, i, np.int64))  # 8 KB each
+            yield d
+
+    rng = np.random.RandomState(0)
+    out = list(shuffle_buffered(gen(), rng, capacity=300,
+                                max_bytes=20000))
+    assert len(out) == 50
+    assert sorted(int(d["idx"][0]) for d in out) == list(range(50))
+    # With only ~2 items buffered, output order stays near input order
+    # (mean displacement ~ buffer size; a random-evict buffer lets a
+    # single item lag geometrically, so bound the mean, not the max).
+    disp = [abs(int(d["idx"][0]) - i) for i, d in enumerate(out)]
+    assert np.mean(disp) < 4, disp
+    assert max(disp) < 25, disp
+
+
+def test_image_stream_shuffles_across_tubes(tmp_path):
+    """With the 300-capacity buffer, image-mode outputs are
+    decorrelated across the shard's tube order (round 2 buffered only
+    16 decoded tubes; the reference's shuffle_batch holds ~300)."""
+    import cv2
+
+    from human_dynamics_tpu.data.loader import ExampleStream
+
+    # 12 tubes whose labels are constant per tube (= tube id), 8 frames
+    # each so the T=8 window has no sampling variance.
+    n_tubes, n_frames, crop = 12, 8, 32
+    path = str(tmp_path / "ident.tfrecord")
+    jpeg = cv2.imencode(
+        ".jpg", np.zeros((crop, crop, 3), np.uint8)
+    )[1].tobytes()
+    with TFRecordWriter(path) as w:
+        for ti in range(n_tubes):
+            labels = np.full((n_frames, 3, 25), float(ti), np.float32)
+            w.write(convert_to_example_temporal(
+                image_datas=[jpeg] * n_frames,
+                image_paths=[f"f{i}.png" for i in range(n_frames)],
+                image_shapes=np.full((n_frames, 2), crop),
+                labels=labels,
+                centers=np.full((n_frames, 2), crop // 2),
+                gt3ds=None,
+                scale_factors=np.ones((n_frames, 2), np.float32),
+                start_pts=np.zeros((n_frames, 2), np.int64),
+                cams=None, poses=None, shape=None,
+            ))
+
+    stream = ExampleStream(
+        [path], t=8, seed=3, decode_images=True,
+        shuffle_buffer=300, shuffle_bytes=1 << 30,
+    )
+    it = iter(stream)
+    ids = [int(next(it)["labels_raw"].flat[0]) for _ in range(36)]
+    # All tubes appear, and NOT in repeated file order (the round-2
+    # 16-buffer emitted near-file-order for small shards).
+    assert set(ids) == set(range(n_tubes))
+    in_order = sum(
+        b == (a + 1) % n_tubes for a, b in zip(ids, ids[1:])
+    )
+    assert in_order < len(ids) * 0.5, ids

@@ -145,3 +145,39 @@ def test_static_scale_path_matches_dynamic(trunk):
     )
     got2 = np.asarray(apply_int8_static(qp, merged, x))
     assert np.isfinite(got2).all()
+
+
+def test_predictor_int8_static_end_to_end():
+    """int8_encoder + calibration batch: the static-scale fused path
+    runs end-to-end and tracks the dynamic path."""
+    from human_dynamics_tpu.core import synthetic_smpl_model
+    from human_dynamics_tpu.infer import HmmrPredictor
+    from human_dynamics_tpu.models import HmmrModel
+    import warnings
+
+    model = HmmrModel(include_resnet=True)
+    smpl = synthetic_smpl_model(num_verts=48, num_kps=25)
+    images = np.asarray(
+        RNG.rand(25, 64, 64, 3).astype(np.float32) * 2 - 1
+    )
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 1, 64, 64, 3))
+    )
+    kw = dict(batch_size=2, seq_length=20, encode_chunk=16)
+    with warnings.catch_warnings():
+        # Calibrated static mode must NOT raise the slower-path warning.
+        warnings.simplefilter("error", RuntimeWarning)
+        static = HmmrPredictor(
+            model, variables, smpl, int8_encoder=True,
+            int8_calibration=images[:8], **kw
+        )
+    with pytest.warns(RuntimeWarning, match="dynamic"):
+        dyn = HmmrPredictor(
+            model, variables, smpl, int8_encoder=True, **kw
+        )
+    got = static.predict_all_images(images)
+    want = dyn.predict_all_images(images)
+    assert set(got) == set(want)
+    assert np.isfinite(got["omegas"]).all()
+    diff = np.abs(got["omegas"] - want["omegas"]).max()
+    assert diff < 0.5, diff
