@@ -8,16 +8,20 @@ perf ledger): 4096^3 matmul 358 TOP/s int8 vs 196 TFLOP/s bf16, and
 the dominant compute in video->SMPL inference (encoder_resnet,
 /root/reference/src/models.py:50-77).
 
-MEASURED RESULT on v5e via XLA (honest negative): the full int8 trunk
-runs ~25% SLOWER than the bf16 trunk (14.1 vs 10.6 ms at batch 160,
-224x224; full-max dynamic scales 11.9 ms). The MXU saving (~5 ms) is
-outweighed by the quantize/dequantize elementwise passes, which XLA
-cannot fuse into integer-conv epilogues. The path is kept because
-(a) the BN-folding + per-channel PTQ converter is reusable as-is by a
-future fused (Pallas conv-epilogue) implementation — the only route to
-realizing the 2x — and (b) int8 weights halve encoder weight memory
-for weight-bound multi-model serving. Do NOT enable int8_encoder for
-speed on v5e; bf16_encoder remains the fast path.
+MEASURED RESULTS on v5e at batch 160, 224x224 (bf16 trunk: 10.63 ms):
+- DYNAMIC activation scales via XLA: 11.9-14.1 ms — SLOWER than bf16.
+  Each re-quantization needs a max|x| reduction over the conv output,
+  which forces materialization plus ~2 extra HBM passes per conv.
+- STATIC calibrated scales via XLA (``apply_int8_static``): 9.99 ms —
+  the dequant+quant pair composes into one elementwise epilogue that
+  XLA fuses into the integer conv, so int8 beats bf16 by ~6%.
+- STATIC + fused Pallas bottleneck units (``use_pallas=True``,
+  ops/resnet_int8_pallas.py): the whole residual unit runs in VMEM,
+  removing the remaining per-conv HBM round trips of the residual
+  stream (see that module's measurements).
+Use ``HmmrPredictor(int8_encoder=True, int8_calibration=frames)`` for
+the static path; dynamic (no calibration) stays for weight-memory-bound
+serving and warns that it is slower.
 
 Scheme (standard symmetric PTQ, chosen for exactness of intent and
 zero calibration data):
@@ -177,6 +181,7 @@ def apply_int8_static(
     qp: Dict[str, jax.Array],
     scales: Dict[str, jax.Array],
     images: jax.Array,
+    use_pallas: bool = False,
 ) -> jax.Array:
     """Static-scale int8 trunk: requant fused into conv epilogues.
 
@@ -188,8 +193,15 @@ def apply_int8_static(
     into the integer conv's epilogue, which `scripts/probe_mxu.py`
     measured at 366-405 TOP/s (~2x bf16) on the stage convs. scales
     comes from ``calibrate_int8_scales``.
+
+    ``use_pallas`` additionally runs every stride-1 bottleneck unit of
+    blocks 2-4 as ONE fused Pallas kernel (ops/resnet_int8_pallas.py):
+    the whole unit's intermediates stay in VMEM, so the residual stream
+    is read+written once per unit instead of ~4x.
     """
-    return apply_int8(qp, images, _static_scales=scales)
+    return apply_int8(
+        qp, images, _static_scales=scales, _use_pallas=use_pallas
+    )
 
 
 def apply_int8(
@@ -197,6 +209,7 @@ def apply_int8(
     images: jax.Array,
     _observe: Optional[Dict[str, jax.Array]] = None,
     _static_scales: Optional[Dict[str, jax.Array]] = None,
+    _use_pallas: bool = False,
 ) -> jax.Array:
     """(N, H, W, 3) [-1, 1] images -> (N, 2048) fp32 phi."""
     x = images.astype(jnp.bfloat16)
@@ -236,6 +249,22 @@ def apply_int8(
             stride = 2 if (ui == num_units and not last_block) else 1
             pre = f"block{bi}/unit_{ui}/bottleneck_v2/"
             depth_in = x.shape[-1]
+
+            if (_use_pallas and _static_scales is not None
+                    and stride == 1 and _db >= 128):
+                from human_dynamics_tpu.ops.resnet_int8_pallas import (
+                    fused_bottleneck_unit, prepare_pallas_unit,
+                )
+
+                unit_params = prepare_pallas_unit(
+                    qp, _static_scales, pre,
+                    has_shortcut=depth != depth_in,
+                )
+                x = fused_bottleneck_unit(
+                    x, unit_params, h=x.shape[1], w=x.shape[2],
+                    has_shortcut=depth != depth_in,
+                )
+                continue
 
             preact = jnp.maximum(
                 x * qp[pre + "preact/A"].astype(jnp.bfloat16)

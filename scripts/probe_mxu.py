@@ -134,7 +134,8 @@ def probe_convs():
                   f"{fl/per/1e12:.1f} T/s", flush=True)
 
 
-def probe_resnet(int8: bool, static: bool = False):
+def probe_resnet(int8: bool, static: bool = False,
+                 use_pallas: bool = False):
     from human_dynamics_tpu.models.resnet import ResNetV2_50
 
     B = 160
@@ -154,7 +155,9 @@ def probe_resnet(int8: bool, static: bool = False):
                 lambda im: calibrate_int8_scales(qp, im)
             )(images[:16])
             jax.block_until_ready(scales)
-            fwd = lambda x: apply_int8_static(qp, scales, x)
+            fwd = lambda x: apply_int8_static(
+                qp, scales, x, use_pallas=use_pallas
+            )
         else:
             fwd = lambda x: apply_int8(qp, x)
     else:
@@ -174,9 +177,96 @@ def probe_resnet(int8: bool, static: bool = False):
     c0s = [jnp.asarray(i * 1e-4, jnp.float32) for i in range(4)]
     per = _per_iter(make_body, c0s, short=8, long=40)
     tag = ("int8-static" if static else "int8") if int8 else "bf16"
+    if use_pallas:
+        tag += "-pallas"
     print(f"resnet50 fwd {tag}: {per*1e3:.2f} ms/batch{B} = "
           f"{B/per:.0f} img/s = {2*4.1e9*B/per/1e12:.1f} T/s eff.",
           flush=True)
+
+
+def probe_conv_bwd():
+    """Per-geometry conv fwd vs input-grad vs filter-grad (bf16, B=160).
+
+    The unfrozen image-mode train step is resnet-backward-bound
+    (CLAUDE.md: minimal fwd+bwd+Adam 54.8 ms vs ~21 ms ideal 2x-fwd).
+    This isolates which conv/mode pair eats the excess: stride-2
+    input-grads become lhs-dilated convs, filter-grads become
+    big-spatial-reduction convs — both notorious XLA TPU weak spots.
+    """
+    B = 160
+    geoms = [
+        # (name, h_in, cin, cout, k, stride)
+        ("root7x7/2", 224, 3, 64, 7, 2),
+        ("b1 3x3", 56, 64, 64, 3, 1),
+        ("b1 1x1 up", 56, 64, 256, 1, 1),
+        ("b2 3x3", 28, 128, 128, 3, 1),
+        ("b2 3x3/2", 56, 128, 128, 3, 2),
+        ("b3 3x3", 14, 256, 256, 3, 1),
+        ("b3 3x3/2", 28, 256, 256, 3, 2),
+        ("b4 3x3", 7, 512, 512, 3, 1),
+        ("b4 1x1 in", 7, 2048, 512, 1, 1),
+    ]
+    for name, h, cin, cout, k, stride in geoms:
+        w0 = jnp.asarray(rng.randn(k, k, cin, cout) * 0.05, jnp.bfloat16)
+        x0s = [jnp.asarray(rng.randn(B, h, h, cin) * 0.5, jnp.bfloat16)
+               for _ in range(3)]
+
+        def conv(x, w):
+            if stride == 1:
+                pad = "SAME"
+            else:
+                beg = (k - 1) // 2
+                pad = ((beg, k - 1 - beg), (beg, k - 1 - beg))
+            return jax.lax.conv_general_dilated(
+                x, w, (stride, stride), pad,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32,
+            )
+
+        h_out = h // stride
+        fl = 2 * B * h_out * h_out * cin * cout * k * k
+
+        def make_fwd():
+            def body(x, _):
+                y = conv(x, w0)
+                # Data-dependent next input, same shape as x.
+                nxt = (x + jnp.mean(y) * 1e-6).astype(jnp.bfloat16)
+                return nxt, ()
+            return body
+
+        def make_dgrad():
+            def body(x, _):
+                g = jax.grad(
+                    lambda xx: jnp.sum(conv(xx, w0).astype(jnp.float32))
+                )(x)
+                nxt = (x + g * 1e-6).astype(jnp.bfloat16)
+                return nxt, ()
+            return body
+
+        def make_wgrad():
+            x_fix = x0s[0]
+
+            def body(w, _):
+                g = jax.grad(
+                    lambda ww: jnp.sum(
+                        conv(x_fix, ww).astype(jnp.float32))
+                )(w)
+                nxt = (w + g * 1e-9).astype(jnp.bfloat16)
+                return nxt, ()
+            return body
+
+        t_f = _per_iter(make_fwd, x0s, short=16, long=96)
+        t_d = _per_iter(make_dgrad, x0s, short=16, long=96)
+        t_w = _per_iter(
+            make_wgrad,
+            [w0 + i * 1e-4 for i in range(3)], short=16, long=96,
+        )
+        print(
+            f"{name:12s} fwd {t_f*1e3:7.3f} ms ({fl/t_f/1e12:5.1f} T/s)"
+            f"  dgrad {t_d*1e3:7.3f} ({fl/t_d/1e12:5.1f})"
+            f"  wgrad {t_w*1e3:7.3f} ({fl/t_w/1e12:5.1f})",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":
@@ -187,4 +277,7 @@ if __name__ == "__main__":
         "resnet": lambda: probe_resnet(False),
         "resnet_int8": lambda: probe_resnet(True),
         "resnet_int8_static": lambda: probe_resnet(True, static=True),
+        "resnet_int8_pallas": lambda: probe_resnet(
+            True, static=True, use_pallas=True),
+        "conv_bwd": probe_conv_bwd,
     }[which]()

@@ -181,3 +181,123 @@ def test_predictor_int8_static_end_to_end():
     assert np.isfinite(got["omegas"]).all()
     diff = np.abs(got["omegas"] - want["omegas"]).max()
     assert diff < 0.5, diff
+
+
+def test_pallas_fused_units_match_static_xla(trunk):
+    """use_pallas=True (fused bottleneck-unit kernels, interpret mode on
+    CPU) tracks the XLA static path: same quant grid, preact computed in
+    f32 instead of bf16, so results agree to quantization-step level."""
+    from human_dynamics_tpu.models.resnet_int8 import (
+        apply_int8_static, calibrate_int8_scales,
+    )
+
+    model, variables, x = trunk
+    qp = prepare_int8_params(variables)
+    scales = calibrate_int8_scales(qp, x)
+    want = np.asarray(apply_int8_static(qp, scales, x))
+    got = np.asarray(apply_int8_static(qp, scales, x, use_pallas=True))
+    assert got.shape == want.shape
+    assert np.isfinite(got).all()
+    cos = np.sum(got * want, axis=1) / (
+        np.linalg.norm(got, axis=1) * np.linalg.norm(want, axis=1)
+    )
+    assert np.all(cos > 0.995), cos
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert rel < 0.05, rel
+
+
+def test_pallas_unit_matches_dense_oracle():
+    """One fused unit (identity + projection variants) vs a dense
+    jnp oracle of the same quantized math — validates the planar 3x3
+    decomposition (shifts, masks, H-edge zero pads) exactly."""
+    from human_dynamics_tpu.ops.resnet_int8_pallas import (
+        fused_bottleneck_unit,
+    )
+
+    rng = np.random.RandomState(3)
+    n, h, w, cin, cb, cout = 2, 6, 5, 16, 8, 16
+
+    def mk(shape, scale=1.0):
+        return jnp.asarray(rng.randn(*shape).astype(np.float32) * scale)
+
+    def mki8(shape):
+        return jnp.asarray(
+            rng.randint(-127, 128, shape).astype(np.int8)
+        )
+
+    w2_taps = mki8((3, 3, cb, cb))
+    params = {
+        "pA": jnp.abs(mk((1, cin))) + 0.5,
+        "pB": mk((1, cin), 0.3),
+        "w1": mki8((cin, cb)),
+        "q1m": jnp.abs(mk((1, cb), 1e-3)) + 1e-4,
+        "q1a": mk((1, cb), 0.3),
+        "w2": w2_taps.reshape(9 * cb, cb),
+        "q2m": jnp.abs(mk((1, cb), 1e-4)) + 1e-5,
+        "q2a": mk((1, cb), 0.3),
+        "w3": mki8((cb, cout)),
+        "d3m": jnp.abs(mk((1, cout), 1e-4)) + 1e-5,
+        "d3a": mk((1, cout), 0.1),
+    }
+    x = mk((n, h, w, cin), 0.5).astype(jnp.bfloat16)
+
+    def oracle(x, params, has_shortcut):
+        xf = x.astype(jnp.float32)
+        pq = jnp.clip(jnp.round(jnp.maximum(
+            xf * params["pA"][0] + params["pB"][0], 0)), 0, 127
+        ).astype(jnp.int8)
+        h1 = jax.lax.dot_general(
+            pq.reshape(-1, cin), params["w1"],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).reshape(n, h, w, cb)
+        h1q = jnp.clip(jnp.round(
+            h1.astype(jnp.float32) * params["q1m"][0]
+            + params["q1a"][0]), 0, 127).astype(jnp.int8)
+        acc = jax.lax.conv_general_dilated(
+            h1q, w2_taps, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
+        h2q = jnp.clip(jnp.round(
+            acc.astype(jnp.float32) * params["q2m"][0]
+            + params["q2a"][0]), 0, 127).astype(jnp.int8)
+        y3 = jax.lax.dot_general(
+            h2q.reshape(-1, cb), params["w3"],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).reshape(n, h, w, cout).astype(jnp.float32)
+        res = y3 * params["d3m"][0] + params["d3a"][0]
+        if has_shortcut:
+            ysc = jax.lax.dot_general(
+                pq.reshape(-1, cin), params["wsc"],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).reshape(n, h, w, cout).astype(jnp.float32)
+            sc = ysc * params["dscm"][0] + params["dsca"][0]
+        else:
+            sc = xf
+        return (sc + res).astype(x.dtype)
+
+    got = fused_bottleneck_unit(
+        x, params, h=h, w=w, interpret=True
+    )
+    want = oracle(x, params, has_shortcut=False)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=1e-2, rtol=1e-2,
+    )
+
+    params_sc = dict(params)
+    params_sc["wsc"] = mki8((cin, cout))
+    params_sc["dscm"] = jnp.abs(mk((1, cout), 1e-3)) + 1e-4
+    params_sc["dsca"] = mk((1, cout), 0.1)
+    got_sc = fused_bottleneck_unit(
+        x, params_sc, h=h, w=w, has_shortcut=True, interpret=True
+    )
+    want_sc = oracle(x, params_sc, has_shortcut=True)
+    np.testing.assert_allclose(
+        np.asarray(got_sc, np.float32),
+        np.asarray(want_sc, np.float32),
+        atol=1e-2, rtol=1e-2,
+    )
