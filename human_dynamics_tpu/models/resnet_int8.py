@@ -15,10 +15,12 @@ MEASURED RESULTS on v5e at batch 160, 224x224 (bf16 trunk: 10.63 ms):
 - STATIC calibrated scales via XLA (``apply_int8_static``): 9.99 ms —
   the dequant+quant pair composes into one elementwise epilogue that
   XLA fuses into the integer conv, so int8 beats bf16 by ~6%.
-- STATIC + fused Pallas bottleneck units (``use_pallas=True``,
-  ops/resnet_int8_pallas.py): the whole residual unit runs in VMEM,
-  removing the remaining per-conv HBM round trips of the residual
-  stream (see that module's measurements).
+- STATIC + fused Pallas bottleneck units/chains (``use_pallas=True``,
+  ops/resnet_int8_pallas.py): 12.5-13.4 ms — SLOWER than the XLA
+  static path in every variant tried (per-unit, concatenated-tap,
+  whole-block chains; full per-block attribution in that module's
+  docstring). XLA's tile-pipelined integer convs win; the kernel is
+  kept as a tested experimental path and a documented negative.
 Use ``HmmrPredictor(int8_encoder=True, int8_calibration=frames)`` for
 the static path; dynamic (no calibration) stays for weight-memory-bound
 serving and warns that it is slower.
@@ -182,6 +184,7 @@ def apply_int8_static(
     scales: Dict[str, jax.Array],
     images: jax.Array,
     use_pallas: bool = False,
+    pallas_blocks: tuple = (2, 3, 4),
 ) -> jax.Array:
     """Static-scale int8 trunk: requant fused into conv epilogues.
 
@@ -200,7 +203,8 @@ def apply_int8_static(
     is read+written once per unit instead of ~4x.
     """
     return apply_int8(
-        qp, images, _static_scales=scales, _use_pallas=use_pallas
+        qp, images, _static_scales=scales, _use_pallas=use_pallas,
+        _pallas_blocks=pallas_blocks,
     )
 
 
@@ -210,6 +214,7 @@ def apply_int8(
     _observe: Optional[Dict[str, jax.Array]] = None,
     _static_scales: Optional[Dict[str, jax.Array]] = None,
     _use_pallas: bool = False,
+    _pallas_blocks: tuple = (2, 3, 4),
 ) -> jax.Array:
     """(N, H, W, 3) [-1, 1] images -> (N, 2048) fp32 phi."""
     x = images.astype(jnp.bfloat16)
@@ -243,28 +248,49 @@ def apply_int8(
         lo = 0.0 if relu else -127.0  # relu folds into the low clamp
         return jnp.clip(jnp.round(y), lo, 127.0).astype(jnp.int8)
 
+    # Consecutive Pallas-eligible units chain into ONE kernel per block
+    # (the residual stream crosses HBM once per chain, not per unit).
+    pending_params: list = []
+    pending_specs: list = []
+
+    def flush_chain(x):
+        if not pending_params:
+            return x
+        from human_dynamics_tpu.ops.resnet_int8_pallas import (
+            fused_block,
+        )
+
+        x = fused_block(
+            x, tuple(pending_params), h=x.shape[1], w=x.shape[2],
+            unit_specs=tuple(pending_specs),
+        )
+        pending_params.clear()
+        pending_specs.clear()
+        return x
+
+    cur_depth = x.shape[-1]  # logical channels incl. pending chain units
     for bi, (num_units, depth, _db) in enumerate(BLOCKS, start=1):
         last_block = bi == len(BLOCKS)
         for ui in range(1, num_units + 1):
             stride = 2 if (ui == num_units and not last_block) else 1
             pre = f"block{bi}/unit_{ui}/bottleneck_v2/"
-            depth_in = x.shape[-1]
+            depth_in = cur_depth
+            cur_depth = depth
 
             if (_use_pallas and _static_scales is not None
-                    and stride == 1 and _db >= 128):
+                    and stride == 1 and _db >= 128
+                    and bi in _pallas_blocks):
                 from human_dynamics_tpu.ops.resnet_int8_pallas import (
-                    fused_bottleneck_unit, prepare_pallas_unit,
+                    prepare_pallas_unit,
                 )
 
-                unit_params = prepare_pallas_unit(
+                pending_params.append(prepare_pallas_unit(
                     qp, _static_scales, pre,
                     has_shortcut=depth != depth_in,
-                )
-                x = fused_bottleneck_unit(
-                    x, unit_params, h=x.shape[1], w=x.shape[2],
-                    has_shortcut=depth != depth_in,
-                )
+                ))
+                pending_specs.append(depth != depth_in)
                 continue
+            x = flush_chain(x)
 
             preact = jnp.maximum(
                 x * qp[pre + "preact/A"].astype(jnp.bfloat16)
@@ -322,6 +348,7 @@ def apply_int8(
                                qp[pre + "conv3/bias"], relu=False)
             x = shortcut + residual
 
+    x = flush_chain(x)  # block4's stride-1 chain ends the trunk
     x = jnp.maximum(
         x * qp["postnorm/A"].astype(jnp.bfloat16)
         + qp["postnorm/B"].astype(jnp.bfloat16),

@@ -1,36 +1,42 @@
-"""Pallas fused int8 bottleneck-v2 unit: the whole residual unit as ONE
-TPU kernel.
+"""Pallas fused int8 bottleneck-v2 units: measured NEGATIVE result.
 
-Why: with static activation scales the XLA int8 trunk
-(models/resnet_int8.apply_int8_static) already fuses each requant into
-its conv epilogue, but every conv boundary still materializes an
-activation tensor in HBM — per unit the residual stream is read/written
-~4x. Measured: 9.99 ms/batch160 vs bf16's 10.63 ms, while the convs
-alone run at ~2x the bf16 MXU rate (scripts/probe_mxu.py). The only way
-to close that gap is to keep a unit's intermediates in VMEM, which XLA
-will not do across convolutions — hence this kernel.
+Hypothesis: with static activation scales the XLA int8 trunk
+(models/resnet_int8.apply_int8_static, 9.99 ms/batch160 vs bf16's
+10.63 ms) still materializes the residual stream in HBM at every conv
+boundary; fusing a whole bottleneck unit — or a whole block's chain of
+stride-1 units — into one kernel keeps intermediates in VMEM and should
+approach the conv-level int8 rate (366-405 TOP/s, ~2x bf16, measured by
+scripts/probe_mxu.py).
 
-Design (planar 2-D throughout — Mosaic rejects >1 batch-dim matmuls and
-most in-kernel reshapes, see CLAUDE.md):
-- The image is processed per grid step as an (H*W, C) planar matrix.
-- preact BN+relu and int8 quantization fold into one elementwise pass:
-  pq = clip(round(max(x*pA + pB, 0)), 0, 127), pA = A/s_p, pB = B/s_p.
-- 1x1 convs are plain (HW, Cin) @ (Cin, Cout) int8 matmuls (MXU,
-  s8 x s8 -> s32).
-- The 3x3 conv is 9 shifted matmuls on the planar matrix: tap (dy, dx)
-  contributes in[r + (dy-1)*W + (dx-1)] @ W[dy,dx]. Row shifts resolve
-  via a zero-padded copy of the input (H-edge zeros); column wrap at
-  the W edges is cancelled by masking the shifted operand where
-  (r mod W) + dx - 1 lands outside [0, W).
-- Requantization multipliers are precomputed per channel on the host
-  (q1m = s_p*scale1/s_h1 etc.), so each epilogue is one fused
-  multiply-add-round-clip on registers.
-- The unit's output (shortcut + dequantized conv3) is the only HBM
-  write; the bf16 input is the only HBM read.
+MEASURED on one v5e (batch 160, 224x224; chained-scan timing per
+CLAUDE.md), all three kernel generations:
+- per-unit, 3x3 conv as 9 masked shifted dots:        12.54 ms trunk
+- per-unit, taps concatenated into one K=9*Cb matmul: 13.31 ms
+  (the (HW, 9Cb) VMEM cat copies cost ~5 us/img — worse)
+- whole-block chains (residual stream crosses HBM once per BLOCK,
+  group-batched grid steps, 100 MB vmem limit):       13.35 ms
+- per-block attribution vs the 9.99 ms XLA-static baseline:
+  pallas on block4 only +0.27 ms, block3 only +0.79, block2 only +2.14.
+Kernel-internal ablation (28x28x512 unit, us/image): DMA floor 4.9,
++preact/requant elementwise +0.9, +1x1 matmuls ~0 (hide under DMA),
++3x3 machinery +2.1. A bare Pallas int8 matmul hits 215 TOP/s at
+1024^3, so the MXU int8 path itself is fine.
 
-Applies to stride-1 bottleneck units (identity shortcut, or the
-projection-shortcut unit_1 of a block — the projection is just one more
-1x1 matmul on pq). Stride-2 units and the root stay on XLA.
+CONCLUSION: XLA's integer convs + fused static-scale epilogues already
+pipeline DMA/MXU/VPU at tile granularity across the op; a Mosaic kernel
+executes its phases serially per grid step, and the saved HBM traffic
+does not pay for the lost overlap at these activation sizes. The
+static-scale XLA path (apply_int8_static) is the fastest int8 encoder
+on this hardware; this module stays as the tested experimental
+substrate (`use_pallas=True`) and the record of why.
+
+Design notes (kept accurate for future work): planar 2-D layout
+throughout (Mosaic rejects >1 batch-dim matmuls / most in-kernel
+reshapes); 3x3 conv as 9 shifted dots on a row-planar matrix with
+H-edge/W-wrap masks; preact+quant and dequant+requant folded to single
+elementwise passes with host-precomputed per-channel multipliers;
+(1, G*HW, C) blocks keep block starts aligned for 196/49-row
+geometries; G images per grid step amortize launch overhead.
 
 Reference hot path: encoder_resnet (/root/reference/src/models.py:50-77
 via slim resnet_v2_50); quantization scheme: models/resnet_int8.py.
@@ -48,90 +54,93 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _fused_unit_kernel(
-    x_ref, pa_ref, pb_ref, w1_ref, q1m_ref, q1a_ref, w2_ref,
-    q2m_ref, q2a_ref, w3_ref, d3m_ref, d3a_ref, out_ref,
-    pad_ref, *, hw: int, w: int, cb: int, has_shortcut: bool,
-):
-    """One stride-1 bottleneck unit on one (HW, Cin) planar image."""
+PARAM_KEYS = ("pA", "pB", "w1", "q1m", "q1a", "w2", "q2m", "q2a",
+              "w3", "d3m", "d3a")
+SC_KEYS = PARAM_KEYS + ("wsc", "dscm", "dsca")
+
+
+def _keys(has_shortcut):
+    return SC_KEYS if has_shortcut else PARAM_KEYS
+
+
+def _unit_body(state, refs, pad_ref, *, hw: int, w: int,
+               has_shortcut: bool):
+    """One bottleneck unit on an SSA (rows, Cin) bf16 value."""
+    pq = jnp.clip(
+        jnp.round(jnp.maximum(
+            state.astype(jnp.float32) * refs["pA"][:] + refs["pB"][:],
+            0.0,
+        )),
+        0.0, 127.0,
+    ).astype(jnp.int8)
+
     if has_shortcut:
-        # Projection-shortcut variant appends wsc/dscm/dsca before out.
-        raise AssertionError("use _fused_unit_kernel_sc")
-    xf = x_ref[0].astype(jnp.float32)                      # (HW, Cin)
-    pq = jnp.clip(
-        jnp.round(jnp.maximum(xf * pa_ref[:] + pb_ref[:], 0.0)),
-        0.0, 127.0,
-    ).astype(jnp.int8)
+        ysc = jnp.dot(pq, refs["wsc"][:],
+                      preferred_element_type=jnp.int32)
+        shortcut = (ysc.astype(jnp.float32) * refs["dscm"][:]
+                    + refs["dsca"][:])
+    else:
+        shortcut = state.astype(jnp.float32)
 
-    h1 = jnp.dot(pq, w1_ref[:], preferred_element_type=jnp.int32)
+    h1 = jnp.dot(pq, refs["w1"][:], preferred_element_type=jnp.int32)
     h1q = jnp.clip(
-        jnp.round(h1.astype(jnp.float32) * q1m_ref[:] + q1a_ref[:]),
+        jnp.round(h1.astype(jnp.float32) * refs["q1m"][:]
+                  + refs["q1a"][:]),
         0.0, 127.0,
-    ).astype(jnp.int8)                                     # (HW, Cb)
+    ).astype(jnp.int8)                                     # (rows, Cb)
 
-    res = _conv3x3_planar(h1q, w2_ref, q2m_ref, q2a_ref, w3_ref,
-                          pad_ref, hw=hw, w=w, cb=cb)
-    out_ref[0] = (
-        xf + res.astype(jnp.float32) * d3m_ref[:] + d3a_ref[:]
-    ).astype(out_ref.dtype)
-
-
-def _fused_unit_kernel_sc(
-    x_ref, pa_ref, pb_ref, w1_ref, q1m_ref, q1a_ref, w2_ref,
-    q2m_ref, q2a_ref, w3_ref, d3m_ref, d3a_ref,
-    wsc_ref, dscm_ref, dsca_ref, out_ref,
-    pad_ref, *, hw: int, w: int, cb: int,
-):
-    """Projection-shortcut (unit_1) variant: shortcut = 1x1 conv on pq."""
-    xf = x_ref[0].astype(jnp.float32)
-    pq = jnp.clip(
-        jnp.round(jnp.maximum(xf * pa_ref[:] + pb_ref[:], 0.0)),
-        0.0, 127.0,
-    ).astype(jnp.int8)
-
-    ysc = jnp.dot(pq, wsc_ref[:], preferred_element_type=jnp.int32)
-    shortcut = ysc.astype(jnp.float32) * dscm_ref[:] + dsca_ref[:]
-
-    h1 = jnp.dot(pq, w1_ref[:], preferred_element_type=jnp.int32)
-    h1q = jnp.clip(
-        jnp.round(h1.astype(jnp.float32) * q1m_ref[:] + q1a_ref[:]),
-        0.0, 127.0,
-    ).astype(jnp.int8)
-
-    res = _conv3x3_planar(h1q, w2_ref, q2m_ref, q2a_ref, w3_ref,
-                          pad_ref, hw=hw, w=w, cb=cb)
-    out_ref[0] = (
-        shortcut + res.astype(jnp.float32) * d3m_ref[:] + d3a_ref[:]
-    ).astype(out_ref.dtype)
+    res = _conv3x3_planar(
+        h1q, refs["w2"], refs["q2m"], refs["q2a"], refs["w3"],
+        pad_ref, hw=hw, w=w, cb=h1q.shape[-1],
+    )
+    return (
+        shortcut + res.astype(jnp.float32) * refs["d3m"][:]
+        + refs["d3a"][:]
+    ).astype(state.dtype)
 
 
 def _conv3x3_planar(h1q, w2_ref, q2m_ref, q2a_ref, w3_ref, pad_ref,
                     *, hw: int, w: int, cb: int):
-    """3x3 SAME conv + requant + 1x1 conv3 on a planar (HW, Cb) int8."""
-    pad0 = w + 2  # covers the max row shift |(dy-1)*w + (dx-1)| = w+1
-    # Zero the H-edge pads once, then drop the payload in the middle.
-    pad_ref[0:pad0, :] = jnp.zeros((pad0, cb), jnp.int8)
-    pad_ref[pad0 + hw:, :] = jnp.zeros(
-        (pad_ref.shape[0] - pad0 - hw, cb), jnp.int8
-    )
-    pad_ref[pad0:pad0 + hw, :] = h1q
+    """3x3 SAME conv + requant + 1x1 conv3 on planar (G*HW, Cb) int8.
 
-    w_col = jax.lax.broadcasted_iota(jnp.int32, (hw, cb), 0) % w
-    acc = jnp.zeros((hw, cb), jnp.int32)
+    Nine shifted, masked (rows, Cb) x (Cb, Cb) dots accumulated in
+    int32 — measured FASTER than concatenating the taps into one
+    (rows, 9*Cb) matrix (the VMEM cat copies cost ~5 us/img; the small
+    dots hide under the DMA of the surrounding stream).
+
+    G images ride in one grid step as row-concatenated planes; a row
+    mask ((row mod HW) // W + dy - 1 in [0, H)) zeroes every tap
+    contribution that would cross an H edge — which simultaneously
+    handles image boundaries, so no per-image padding is needed.
+    """
+    rows = h1q.shape[0]                  # G*HW
+    pad0 = w + 2  # covers the max row shift |(dy-1)*w + (dx-1)| = w+1
+    pad_ref[0:pad0, :cb] = jnp.zeros((pad0, cb), jnp.int8)
+    pad_ref[pad0 + rows:, :cb] = jnp.zeros(
+        (pad_ref.shape[0] - pad0 - rows, cb), jnp.int8
+    )
+    pad_ref[pad0:pad0 + rows, :cb] = h1q
+
+    row_id = jax.lax.broadcasted_iota(jnp.int32, (rows, cb), 0)
+    w_col = row_id % w
+    h_row = (row_id % hw) // w
+    h = hw // w
+    acc = jnp.zeros((rows, cb), jnp.int32)
     for dy in range(3):
         for dx in range(3):
+            t = dy * 3 + dx
             off = (dy - 1) * w + (dx - 1)
-            shifted = pad_ref[pad0 + off:pad0 + off + hw, :]
-            # Cancel the column wrap at the W edges for this tap.
+            shifted = pad_ref[pad0 + off:pad0 + off + rows, :cb]
+            valid = (h_row + dy - 1 >= 0) & (h_row + dy - 1 < h)
             if dx != 1:
-                valid = (
+                valid &= (
                     (w_col + dx - 1 >= 0) & (w_col + dx - 1 < w)
                 )
+            if dy != 1 or dx != 1:
                 shifted = jnp.where(valid, shifted, 0).astype(jnp.int8)
-            tap = w2_ref[(dy * 3 + dx) * cb:(dy * 3 + dx + 1) * cb, :]
-            acc = acc + jnp.dot(
-                shifted, tap, preferred_element_type=jnp.int32
-            )
+            tap = w2_ref[t * cb:(t + 1) * cb, :]
+            acc = acc + jnp.dot(shifted, tap,
+                                preferred_element_type=jnp.int32)
     h2q = jnp.clip(
         jnp.round(acc.astype(jnp.float32) * q2m_ref[:] + q2a_ref[:]),
         0.0, 127.0,
@@ -139,30 +148,49 @@ def _conv3x3_planar(h1q, w2_ref, q2m_ref, q2a_ref, w3_ref, pad_ref,
     return jnp.dot(h2q, w3_ref[:], preferred_element_type=jnp.int32)
 
 
+def _chained_block_kernel(*args, unit_specs, hw: int, w: int):
+    """All stride-1 units of one resnet block in ONE kernel: the
+    residual stream crosses HBM once per BLOCK instead of once per
+    unit (the per-unit kernel measured DMA-bound at its own floor)."""
+    x_ref = args[0]
+    out_ref = args[-2]
+    pad_ref = args[-1]
+    state = x_ref[0]
+    pos = 1
+    for has_shortcut in unit_specs:
+        keys = _keys(has_shortcut)
+        refs = dict(zip(keys, args[pos:pos + len(keys)]))
+        pos += len(keys)
+        state = _unit_body(state, refs, pad_ref, hw=hw, w=w,
+                           has_shortcut=has_shortcut)
+    out_ref[0] = state
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("h", "w", "has_shortcut", "interpret"),
+    static_argnames=("h", "w", "unit_specs", "interpret", "group"),
 )
-def fused_bottleneck_unit(
+def fused_block(
     x: jax.Array,
-    params: Dict[str, jax.Array],
+    unit_params,
     *,
     h: int,
     w: int,
-    has_shortcut: bool = False,
+    unit_specs,
     interpret: bool = False,
+    group: int | None = None,
 ) -> jax.Array:
-    """Run one fused stride-1 bottleneck unit over a batch.
+    """Run a chain of stride-1 bottleneck units as ONE Pallas kernel.
 
     Args:
         x: (N, H, W, Cin) bf16 residual-stream input.
-        params: per-unit tensors from ``prepare_pallas_unit``:
+        unit_params: tuple of per-unit dicts (``prepare_pallas_unit``):
             pA/pB (1, Cin) f32; w1 (Cin, Cb) int8; q1m/q1a (1, Cb);
             w2 (9*Cb, Cb) int8; q2m/q2a (1, Cb); w3 (Cb, Cout) int8;
-            d3m/d3a (1, Cout); [wsc (Cin, Cout) int8, dscm/dsca
-            (1, Cout) when has_shortcut].
-        h/w: spatial dims (static).
-        has_shortcut: projection-shortcut (unit_1) variant.
+            d3m/d3a (1, Cout); + wsc (Cin, Cout) int8, dscm/dsca
+            (1, Cout) for projection-shortcut units.
+        h/w: spatial dims (static; unchanged across the chain).
+        unit_specs: tuple of has_shortcut bools, one per unit.
 
     Returns:
         (N, H, W, Cout) in x.dtype.
@@ -171,58 +199,94 @@ def fused_bottleneck_unit(
     interpret = interpret or jax.default_backend() != "tpu"
     n = x.shape[0]
     c_in = x.shape[-1]
-    cb = params["w1"].shape[-1]
-    c_out = params["w3"].shape[-1]
+    cb = unit_params[0]["w1"].shape[-1]
+    for p in unit_params:
+        assert p["w1"].shape[-1] == cb, "chain shares one Cb"
+    c_out = unit_params[-1]["w3"].shape[-1]
     hw = h * w
-    # (1, HW, C) blocks: the leading grid dim keeps every block start
-    # aligned regardless of HW (196/49 rows are not sublane-tile
-    # multiples; 2-D (HW, C) blocks at offset i*HW fail BlockSpec
-    # alignment for those geometries).
-    x2 = x.reshape(n, hw, c_in)
-    pad_rows = hw + 2 * (w + 2)
 
-    operands = [
-        x2, params["pA"], params["pB"], params["w1"],
-        params["q1m"], params["q1a"], params["w2"],
-        params["q2m"], params["q2a"], params["w3"],
-        params["d3m"], params["d3a"],
-    ]
-    if has_shortcut:
-        operands += [params["wsc"], params["dscm"], params["dsca"]]
-        kernel = functools.partial(
-            _fused_unit_kernel_sc, hw=hw, w=w, cb=cb
-        )
-    else:
-        kernel = functools.partial(
-            _fused_unit_kernel, hw=hw, w=w, cb=cb,
-            has_shortcut=False,
-        )
+    wbytes = sum(
+        int(np.prod(p[k].shape)) * (1 if p[k].dtype == jnp.int8 else 4)
+        for p in unit_params for k in p
+    )
+    if group is None:
+        # G images per grid step, bounded by a conservative VMEM model
+        # (v5e VMEM is large enough that the 100 MB compiler limit, not
+        # 16 MB, governs; stay well under it).
+        for g in (8, 4, 2, 1):
+            act = g * hw * (6 * c_in + 6 * c_out + 16 * cb)
+            if n % g == 0 and act + wbytes < 40 * 2**20:
+                group = g
+                break
+        else:
+            group = 1
+    rows = group * hw
+    # (1, G*HW, C) blocks: the leading grid dim keeps every block start
+    # aligned regardless of HW (196/49 rows are not sublane-tile
+    # multiples).
+    x2 = x.reshape(n // group, rows, c_in)
+    pad_rows = rows + 2 * (w + 2)
+
+    operands = [x2]
+    for p, sc in zip(unit_params, unit_specs):
+        operands += [p[k] for k in _keys(sc)]
+
+    kernel = functools.partial(
+        _chained_block_kernel,
+        unit_specs=tuple(unit_specs), hw=hw, w=w,
+    )
 
     rep = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
                                  memory_space=pltpu.VMEM)
     in_specs = [
-        pl.BlockSpec((1, hw, c_in), lambda i: (i, 0, 0),
+        pl.BlockSpec((1, rows, c_in), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM)
     ] + [rep(a) for a in operands[1:]]
 
-    flops = 2 * hw * cb * (c_in + 9 * cb + c_out
-                           + (c_out if has_shortcut else 0))
+    flops = sum(
+        2 * rows * cb * (
+            p["w1"].shape[0] + 9 * cb + p["w3"].shape[-1]
+            + (p["w3"].shape[-1] if sc else 0)
+        )
+        for p, sc in zip(unit_params, unit_specs)
+    )
     out = pl.pallas_call(
         kernel,
-        grid=(n,),
+        grid=(n // group,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, hw, c_out), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, rows, c_out), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, hw, c_out), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((n // group, rows, c_out),
+                                       x.dtype),
         scratch_shapes=[pltpu.VMEM((pad_rows, cb), jnp.int8)],
         cost_estimate=pl.CostEstimate(
-            flops=n * flops,
-            bytes_accessed=n * hw * (2 * c_in + 2 * c_out),
+            flops=(n // group) * flops,
+            bytes_accessed=n * hw * (2 * c_in + 2 * c_out) + wbytes,
             transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20,
         ),
         interpret=interpret,
     )(*operands)
     return out.reshape(n, h, w, c_out)
+
+
+def fused_bottleneck_unit(
+    x: jax.Array,
+    params: Dict[str, jax.Array],
+    *,
+    h: int,
+    w: int,
+    has_shortcut: bool = False,
+    interpret: bool = False,
+    group: int | None = None,
+) -> jax.Array:
+    """One fused unit (single-element chain); see ``fused_block``."""
+    return fused_block(
+        x, (params,), h=h, w=w, unit_specs=(has_shortcut,),
+        interpret=interpret, group=group,
+    )
 
 
 def prepare_pallas_unit(

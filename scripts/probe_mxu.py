@@ -155,8 +155,12 @@ def probe_resnet(int8: bool, static: bool = False,
                 lambda im: calibrate_int8_scales(qp, im)
             )(images[:16])
             jax.block_until_ready(scales)
+            pb = tuple(
+                int(c) for c in os.environ.get("PALLAS_BLOCKS", "234")
+            )
             fwd = lambda x: apply_int8_static(
-                qp, scales, x, use_pallas=use_pallas
+                qp, scales, x, use_pallas=use_pallas,
+                pallas_blocks=pb,
             )
         else:
             fwd = lambda x: apply_int8(qp, x)
@@ -220,7 +224,6 @@ def probe_conv_bwd():
             return jax.lax.conv_general_dilated(
                 x, w, (stride, stride), pad,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.float32,
             )
 
         h_out = h // stride
@@ -237,7 +240,9 @@ def probe_conv_bwd():
         def make_dgrad():
             def body(x, _):
                 g = jax.grad(
-                    lambda xx: jnp.sum(conv(xx, w0).astype(jnp.float32))
+                    lambda xx: jnp.sum(
+                        conv(xx, w0).astype(jnp.float32)
+                    ).astype(jnp.bfloat16).astype(jnp.float32)
                 )(x)
                 nxt = (x + g * 1e-6).astype(jnp.bfloat16)
                 return nxt, ()
