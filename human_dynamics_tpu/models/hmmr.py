@@ -127,6 +127,11 @@ class HmmrModel(nn.Module):
     use_delta_from_pred: bool = True
     include_resnet: bool = False   # False = precomputed-phi mode (default)
     remat_resnet: bool = False     # remat bottleneck units (training perf)
+    # Fine-tune with frozen BatchNorm statistics (inference-mode BN while
+    # still differentiating the conv weights) — the standard recipe when
+    # starting from a pretrained trunk, and it removes the batch-stat
+    # reductions from the backward pass.
+    freeze_bn_stats: bool = False
     feature_dim: int = 2048
     # Initial value of the trainable mean_param; None -> zeros fallback.
     # Wire Config.smpl_mean_path through resolve_mean_omega to set this
@@ -169,7 +174,9 @@ class HmmrModel(nn.Module):
         """images (B, T, H, W, 3) in [-1, 1] -> phi (B, T, 2048)."""
         b, t = images.shape[:2]
         flat = images.reshape((b * t,) + images.shape[2:])
-        phi = self.resnet_v2_50(flat, train=train)
+        phi = self.resnet_v2_50(
+            flat, train=train and not self.freeze_bn_stats
+        )
         return phi.reshape(b, t, -1)
 
     def _pred_heads(

@@ -112,6 +112,7 @@ def build_models(config: Config) -> Tuple[HmmrModel, PoseDiscriminator]:
         use_delta_from_pred=config.use_delta_from_pred,
         include_resnet=not config.precomputed_phi,
         remat_resnet=config.remat_resnet,
+        freeze_bn_stats=config.freeze_bn_stats,
         feature_dim=config.feature_dim,
         mean_omega_init=resolve_mean_omega(config.smpl_mean_path),
     )

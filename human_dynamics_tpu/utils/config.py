@@ -101,6 +101,10 @@ class Config:
     # (unfrozen image-mode training: recompute activations instead of
     # round-tripping them through HBM).
     remat_resnet: bool = False
+    # Freeze BatchNorm statistics while fine-tuning the resnet weights
+    # (the standard pretrained-trunk recipe; also removes batch-stat
+    # reductions from the image-mode backward pass).
+    freeze_bn_stats: bool = False
     log_img_step: int = 5000       # rendered-prediction summary period
     log_img_count: int = 10        # frames per rendered summary strip
     log_step: int = 100

@@ -101,6 +101,9 @@ def main() -> None:
                    help="Pallas fused SMPL decode")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize resnet units in the backward")
+    p.add_argument("--freeze_bn_stats", action="store_true",
+                   help="fine-tune with inference-mode BatchNorm "
+                        "(standard pretrained-trunk recipe)")
     p.add_argument("--num_verts", type=int, default=6890)
     p.add_argument("--steps", type=int, default=20,
                    help="chained steps per timed rep")
@@ -120,6 +123,7 @@ def main() -> None:
         use_bfloat16=args.bf16,
         use_fused_smpl=args.fused_smpl,
         remat_resnet=args.remat,
+        freeze_bn_stats=args.freeze_bn_stats,
     )
     smpl = synthetic_smpl_model(num_verts=args.num_verts, num_kps=25)
     rng = np.random.RandomState(0)

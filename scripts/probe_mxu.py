@@ -238,11 +238,15 @@ def probe_conv_bwd():
             return body
 
         def make_dgrad():
+            # relu makes the cotangent data-dependent — the gradient of
+            # a LINEAR conv is constant in x, and XLA hoists it out of
+            # the timing scan entirely (first attempt measured 2500+
+            # "T/s" on exactly those entries).
             def body(x, _):
                 g = jax.grad(
                     lambda xx: jnp.sum(
-                        conv(xx, w0).astype(jnp.float32)
-                    ).astype(jnp.bfloat16).astype(jnp.float32)
+                        jax.nn.relu(conv(xx, w0)).astype(jnp.float32)
+                    )
                 )(x)
                 nxt = (x + g * 1e-6).astype(jnp.bfloat16)
                 return nxt, ()
@@ -254,17 +258,20 @@ def probe_conv_bwd():
             def body(w, _):
                 g = jax.grad(
                     lambda ww: jnp.sum(
-                        conv(x_fix, ww).astype(jnp.float32))
+                        jax.nn.relu(conv(x_fix, ww)).astype(
+                            jnp.float32))
                 )(w)
                 nxt = (w + g * 1e-9).astype(jnp.bfloat16)
                 return nxt, ()
             return body
 
-        t_f = _per_iter(make_fwd, x0s, short=16, long=96)
-        t_d = _per_iter(make_dgrad, x0s, short=16, long=96)
+        short = int(os.environ.get("PROBE_SHORT", "16"))
+        long_ = int(os.environ.get("PROBE_LONG", "96"))
+        t_f = _per_iter(make_fwd, x0s, short=short, long=long_)
+        t_d = _per_iter(make_dgrad, x0s, short=short, long=long_)
         t_w = _per_iter(
             make_wgrad,
-            [w0 + i * 1e-4 for i in range(3)], short=16, long=96,
+            [w0 + i * 1e-4 for i in range(3)], short=short, long=long_,
         )
         print(
             f"{name:12s} fwd {t_f*1e3:7.3f} ms ({fl/t_f/1e12:5.1f} T/s)"

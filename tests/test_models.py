@@ -290,3 +290,40 @@ def test_hmmr_initializes_mean_param_from_file(tmp_path):
         jax.random.PRNGKey(0), jnp.zeros((1, 20, 2048)))
     np.testing.assert_allclose(
         np.asarray(variables["params"]["mean_param"]), mean, rtol=1e-6)
+
+
+def test_freeze_bn_stats_uses_moving_statistics():
+    """freeze_bn_stats=True: train-mode forward equals inference-mode
+    forward (moving stats), while the default train path (batch stats)
+    differs — the standard frozen-BN fine-tuning recipe."""
+    import numpy as _np
+
+    from human_dynamics_tpu.models.hmmr import HmmrModel
+
+    rng = _np.random.RandomState(0)
+    images = jnp.asarray(
+        rng.rand(1, 2, 64, 64, 3).astype(_np.float32) * 2 - 1
+    )
+    kw = dict(include_resnet=True, do_hallucinate=False,
+              predict_delta=False, feature_dim=2048)
+    model = HmmrModel(**kw)
+    variables = model.init(jax.random.PRNGKey(0), images)
+    # Shift the moving stats so batch-vs-moving is distinguishable.
+    stats = jax.tree_util.tree_map(
+        lambda v: v + 0.3, variables["batch_stats"]
+    )
+    variables = {"params": variables["params"], "batch_stats": stats}
+
+    frozen = HmmrModel(freeze_bn_stats=True, **kw)
+
+    def phi(m, train):
+        return _np.asarray(m.apply(
+            variables, images, train=train,
+            method=lambda mm, im, train: mm.encode_images(im, train),
+        ))
+
+    eval_ref = phi(model, train=False)
+    _np.testing.assert_allclose(
+        phi(frozen, train=True), eval_ref, atol=1e-6
+    )
+    assert _np.abs(phi(model, train=True) - eval_ref).max() > 1e-3
