@@ -14,10 +14,19 @@ Measured on one v5e (2026-08, recorded in CLAUDE.md):
   conv3x3 14x14x256   bf16 180.5           int8 336.0
   conv3x3  7x7x512    bf16 192.1           int8 405.4
   resnet50 fwd B=160  bf16 10.63 ms (15.0k img/s, 123 TFLOP/s eff.)
-                      int8 11.91 ms — SLOWER: quant/dequant passes
-                      don't fuse into integer-conv epilogues (XLA).
+                      int8 dynamic 11.91 ms — SLOWER (per-conv max
+                      reductions block epilogue fusion)
+                      int8 STATIC scales 9.99 ms (16.0k img/s) — the
+                      fastest encoder; requant fuses into the conv
+                      int8 static + Pallas fused units 12.5-13.4 ms —
+                      negative, see ops/resnet_int8_pallas.py
+  conv_bwd: per-geometry fwd/dgrad/wgrad table in
+  docs/perf_image_training.md (root wgrad 14.6 T/s, block1 23-41,
+  blocks 2-4 ~90 T/s).
 
-Usage: python scripts/probe_mxu.py [matmul|convs|resnet|resnet_int8]
+Usage: python scripts/probe_mxu.py
+  [matmul|convs|resnet|resnet_int8|resnet_int8_static|
+   resnet_int8_pallas|conv_bwd]
 """
 
 from __future__ import annotations
