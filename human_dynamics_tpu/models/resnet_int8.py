@@ -21,6 +21,16 @@ MEASURED RESULTS on v5e at batch 160, 224x224 (bf16 trunk: 10.63 ms):
   whole-block chains; full per-block attribution in that module's
   docstring). XLA's tile-pipelined integer convs win; the kernel is
   kept as a tested experimental path and a documented negative.
+- STATIC + int8 RESIDUAL STREAM (``int8_stream=True``): 10.57 ms —
+  also SLOWER than the bf16-stream static path (9.99). Carrying the
+  inter-unit activations as int8 should halve the HBM bytes of the
+  preact read and shortcut add, but the measured loss shows those
+  passes are not the binding cost at this size (XLA fuses them into
+  conv operands/epilogues either way; the extra f32 round/clip VPU
+  work in every epilogue outweighs the byte savings). Kept as a
+  tested opt-in; refutes the "stream elementwise is the 131 vs 366
+  T/s gap" hypothesis — the gap lives in root/block1 geometry and
+  strided units, not the stream dtype.
 Use ``HmmrPredictor(int8_encoder=True, int8_calibration=frames)`` for
 the static path; dynamic (no calibration) stays for weight-memory-bound
 serving and warns that it is slower.
@@ -185,6 +195,7 @@ def apply_int8_static(
     images: jax.Array,
     use_pallas: bool = False,
     pallas_blocks: tuple = (2, 3, 4),
+    int8_stream: bool = False,
 ) -> jax.Array:
     """Static-scale int8 trunk: requant fused into conv epilogues.
 
@@ -204,7 +215,7 @@ def apply_int8_static(
     """
     return apply_int8(
         qp, images, _static_scales=scales, _use_pallas=use_pallas,
-        _pallas_blocks=pallas_blocks,
+        _pallas_blocks=pallas_blocks, _int8_stream=int8_stream,
     )
 
 
@@ -215,6 +226,7 @@ def apply_int8(
     _static_scales: Optional[Dict[str, jax.Array]] = None,
     _use_pallas: bool = False,
     _pallas_blocks: tuple = (2, 3, 4),
+    _int8_stream: bool = False,
 ) -> jax.Array:
     """(N, H, W, 3) [-1, 1] images -> (N, 2048) fp32 phi."""
     x = images.astype(jnp.bfloat16)
@@ -227,6 +239,22 @@ def apply_int8(
     x = jax.lax.reduce_window(
         x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1), "SAME"
     )
+    if _observe is not None:
+        _observe["root/out"] = (
+            jnp.max(jnp.abs(x)).astype(jnp.float32) / 127.0 + 1e-12
+        )
+    if _int8_stream:
+        # int8 residual stream: the inter-unit activations ride HBM as
+        # int8 with calibrated per-unit scales, halving the traffic of
+        # the stream-bound elementwise passes (preact read, shortcut
+        # add). Every dequant folds into an adjacent fused pass.
+        # MEASURED SLOWER than the bf16 stream (10.57 vs 9.99 ms at
+        # batch 160 on v5e) — see the module docstring.
+        assert _static_scales is not None, "int8_stream needs scales"
+        s_stream = _static_scales["root/out"]
+        x = jnp.clip(
+            jnp.round(x.astype(jnp.float32) / s_stream), -127, 127
+        ).astype(jnp.int8)
 
     def dequant(y_i32, s_x, scale, bias, relu):
         # fp32 math inside one fused elementwise pass (registers, not
@@ -277,7 +305,8 @@ def apply_int8(
             depth_in = cur_depth
             cur_depth = depth
 
-            if (_use_pallas and _static_scales is not None
+            if (_use_pallas and not _int8_stream
+                    and _static_scales is not None
                     and stride == 1 and _db >= 128
                     and bi in _pallas_blocks):
                 from human_dynamics_tpu.ops.resnet_int8_pallas import (
@@ -292,26 +321,42 @@ def apply_int8(
                 continue
             x = flush_chain(x)
 
-            preact = jnp.maximum(
-                x * qp[pre + "preact/A"].astype(jnp.bfloat16)
-                + qp[pre + "preact/B"].astype(jnp.bfloat16),
-                0,
-            )
-            if _static_scales is not None:
+            if _int8_stream:
                 s_p = _static_scales[pre + "preact"]
+                # preact+quant directly from the int8 stream: ONE fused
+                # pass reading 1 byte/el instead of 2.
                 pq = jnp.clip(
-                    jnp.round(
-                        preact.astype(jnp.float32) / s_p
-                    ), 0, 127,
+                    jnp.round(jnp.maximum(
+                        x.astype(jnp.float32)
+                        * (s_stream * qp[pre + "preact/A"] / s_p)
+                        + qp[pre + "preact/B"] / s_p,
+                        0,
+                    )), 0, 127,
                 ).astype(jnp.int8)
             else:
-                pq, s_p = _quant_act(preact)
-                if _observe is not None:
-                    _observe[pre + "preact"] = s_p
+                preact = jnp.maximum(
+                    x * qp[pre + "preact/A"].astype(jnp.bfloat16)
+                    + qp[pre + "preact/B"].astype(jnp.bfloat16),
+                    0,
+                )
+                if _static_scales is not None:
+                    s_p = _static_scales[pre + "preact"]
+                    pq = jnp.clip(
+                        jnp.round(
+                            preact.astype(jnp.float32) / s_p
+                        ), 0, 127,
+                    ).astype(jnp.int8)
+                else:
+                    pq, s_p = _quant_act(preact)
+                    if _observe is not None:
+                        _observe[pre + "preact"] = s_p
 
             if depth == depth_in:
-                shortcut = (
+                sc_raw = (
                     x if stride == 1 else x[:, ::stride, ::stride, :]
+                )
+                shortcut = (
+                    (sc_raw, s_stream) if _int8_stream else sc_raw
                 )
             else:
                 y = _conv_s8(pq, qp[pre + "shortcut/wq"], stride)
@@ -344,14 +389,45 @@ def apply_int8(
                 if _observe is not None:
                     _observe[pre + "conv2"] = s_h
             y = _conv_s8(hq, qp[pre + "conv3/wq"], 1)
-            residual = dequant(y, s_h, qp[pre + "conv3/scale"],
-                               qp[pre + "conv3/bias"], relu=False)
-            x = shortcut + residual
+            if _int8_stream:
+                # Fused add+requant on (int8 shortcut | f32 shortcut,
+                # int32 conv3): one elementwise pass, int8 out.
+                s_out = _static_scales[pre + "out"]
+                res = y.astype(jnp.float32) * (
+                    s_h * qp[pre + "conv3/scale"] / s_out
+                ) + qp[pre + "conv3/bias"] / s_out
+                if isinstance(shortcut, tuple):  # (int8, scale)
+                    sc_q, sc_s = shortcut
+                    res = res + sc_q.astype(jnp.float32) * (
+                        sc_s / s_out
+                    )
+                else:
+                    res = res + shortcut.astype(jnp.float32) / s_out
+                x = jnp.clip(jnp.round(res), -127, 127).astype(
+                    jnp.int8
+                )
+                s_stream = s_out
+            else:
+                residual = dequant(y, s_h, qp[pre + "conv3/scale"],
+                                   qp[pre + "conv3/bias"], relu=False)
+                x = shortcut + residual
+                if _observe is not None:
+                    _observe[pre + "out"] = (
+                        jnp.max(jnp.abs(x)).astype(jnp.float32) / 127.0
+                        + 1e-12
+                    )
 
     x = flush_chain(x)  # block4's stride-1 chain ends the trunk
-    x = jnp.maximum(
-        x * qp["postnorm/A"].astype(jnp.bfloat16)
-        + qp["postnorm/B"].astype(jnp.bfloat16),
-        0,
-    )
+    if _int8_stream:
+        x = jnp.maximum(
+            x.astype(jnp.float32) * (s_stream * qp["postnorm/A"])
+            + qp["postnorm/B"],
+            0,
+        ).astype(jnp.bfloat16)
+    else:
+        x = jnp.maximum(
+            x * qp["postnorm/A"].astype(jnp.bfloat16)
+            + qp["postnorm/B"].astype(jnp.bfloat16),
+            0,
+        )
     return jnp.mean(x, axis=(1, 2)).astype(jnp.float32)

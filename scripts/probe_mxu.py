@@ -20,13 +20,15 @@ Measured on one v5e (2026-08, recorded in CLAUDE.md):
                       fastest encoder; requant fuses into the conv
                       int8 static + Pallas fused units 12.5-13.4 ms —
                       negative, see ops/resnet_int8_pallas.py
+                      int8 static + int8 residual stream 10.57 ms —
+                      negative, see models/resnet_int8.py
   conv_bwd: per-geometry fwd/dgrad/wgrad table in
   docs/perf_image_training.md (root wgrad 14.6 T/s, block1 23-41,
   blocks 2-4 ~90 T/s).
 
 Usage: python scripts/probe_mxu.py
   [matmul|convs|resnet|resnet_int8|resnet_int8_static|
-   resnet_int8_pallas|conv_bwd]
+   resnet_int8_pallas|resnet_int8_stream|conv_bwd]
 """
 
 from __future__ import annotations
@@ -144,7 +146,7 @@ def probe_convs():
 
 
 def probe_resnet(int8: bool, static: bool = False,
-                 use_pallas: bool = False):
+                 use_pallas: bool = False, int8_stream: bool = False):
     from human_dynamics_tpu.models.resnet import ResNetV2_50
 
     B = 160
@@ -169,7 +171,7 @@ def probe_resnet(int8: bool, static: bool = False,
             )
             fwd = lambda x: apply_int8_static(
                 qp, scales, x, use_pallas=use_pallas,
-                pallas_blocks=pb,
+                pallas_blocks=pb, int8_stream=int8_stream,
             )
         else:
             fwd = lambda x: apply_int8(qp, x)
@@ -192,9 +194,140 @@ def probe_resnet(int8: bool, static: bool = False,
     tag = ("int8-static" if static else "int8") if int8 else "bf16"
     if use_pallas:
         tag += "-pallas"
+    if int8_stream:
+        tag += "-stream"
     print(f"resnet50 fwd {tag}: {per*1e3:.2f} ms/batch{B} = "
           f"{B/per:.0f} img/s = {2*4.1e9*B/per/1e12:.1f} T/s eff.",
           flush=True)
+
+
+def probe_int8_stages():
+    """Per-stage attribution of the static int8 trunk's ~10 ms.
+
+    Times root(+pool), each block, and postnorm+pool in isolation with
+    the real quantized params + calibrated scales (same chained-scan
+    method). The int8-stream experiment measured NEGATIVE, so the
+    131-vs-366 T/s gap must live in specific stages — this finds them.
+    """
+    from human_dynamics_tpu.models.resnet import ResNetV2_50
+    from human_dynamics_tpu.models.resnet_int8 import (
+        BLOCKS, _conv_s8, calibrate_int8_scales, prepare_int8_params,
+    )
+
+    B = 160
+    model = ResNetV2_50()
+    images = jnp.asarray(rng.randn(B, 224, 224, 3) * 0.5, jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), images[:1])
+    qp = jax.jit(prepare_int8_params)(variables)
+    scales = jax.jit(
+        lambda im: calibrate_int8_scales(qp, im))(images[:16])
+    jax.block_until_ready(scales)
+
+    def requant(y, s_x, scale, bias, s_out, relu):
+        y = y.astype(jnp.float32) * (s_x * scale / s_out) + bias / s_out
+        lo = 0.0 if relu else -127.0
+        return jnp.clip(jnp.round(y), lo, 127.0).astype(jnp.int8)
+
+    def run_root(x):
+        x = jax.lax.conv_general_dilated(
+            x.astype(jnp.bfloat16), qp["root/w"], (2, 2),
+            ((3, 3), (3, 3)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16) + qp["root/b"]
+        return jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+            "SAME")
+
+    def run_block(x, bi):
+        num_units, depth, _db = BLOCKS[bi - 1]
+        depth_in = x.shape[-1]
+        for ui in range(1, num_units + 1):
+            stride = 2 if (ui == num_units and bi != 4) else 1
+            pre = f"block{bi}/unit_{ui}/bottleneck_v2/"
+            s_p = scales[pre + "preact"]
+            preact = jnp.maximum(
+                x * qp[pre + "preact/A"].astype(jnp.bfloat16)
+                + qp[pre + "preact/B"].astype(jnp.bfloat16), 0)
+            pq = jnp.clip(
+                jnp.round(preact.astype(jnp.float32) / s_p), 0, 127,
+            ).astype(jnp.int8)
+            if depth == depth_in:
+                shortcut = x if stride == 1 else x[:, ::2, ::2, :]
+            else:
+                y = _conv_s8(pq, qp[pre + "shortcut/wq"], stride)
+                shortcut = (y.astype(jnp.float32)
+                            * (s_p * qp[pre + "shortcut/scale"])
+                            + qp[pre + "shortcut/bias"]
+                            ).astype(jnp.bfloat16)
+            y = _conv_s8(pq, qp[pre + "conv1/wq"], 1)
+            s_h = scales[pre + "conv1"]
+            hq = requant(y, s_p, qp[pre + "conv1/scale"],
+                         qp[pre + "conv1/bias"], s_h, relu=True)
+            y = _conv_s8(hq, qp[pre + "conv2/wq"], stride)
+            s_h2 = scales[pre + "conv2"]
+            hq = requant(y, s_h, qp[pre + "conv2/scale"],
+                         qp[pre + "conv2/bias"], s_h2, relu=True)
+            y = _conv_s8(hq, qp[pre + "conv3/wq"], 1)
+            residual = (y.astype(jnp.float32)
+                        * (s_h2 * qp[pre + "conv3/scale"])
+                        + qp[pre + "conv3/bias"]).astype(jnp.bfloat16)
+            x = shortcut + residual
+            depth_in = depth
+        return x
+
+    def gflop_block(bi, h_in, depth_in):
+        num_units, depth, db = BLOCKS[bi - 1]
+        fl = 0
+        d_in = depth_in
+        for ui in range(1, num_units + 1):
+            stride = 2 if (ui == num_units and bi != 4) else 1
+            h_out = h_in // stride
+            if d_in != depth:
+                fl += 2 * B * h_out * h_out * d_in * depth  # shortcut
+            fl += 2 * B * h_in * h_in * d_in * db          # conv1 1x1
+            fl += 2 * B * h_out * h_out * db * db * 9      # conv2 3x3
+            fl += 2 * B * h_out * h_out * db * depth       # conv3 1x1
+            d_in = depth
+            h_in = h_out
+        return fl / 1e9
+
+    stages = [("root+pool", lambda x: run_root(x),
+               (B, 224, 224, 3), jnp.float32,
+               2 * B * 112 * 112 * 147 * 64 / 1e9)]
+    h, d = 56, 64
+    for bi, (num_units, depth, _db) in enumerate(BLOCKS, start=1):
+        stages.append((
+            f"block{bi}", lambda x, bi=bi: run_block(x, bi),
+            (B, h, h, d), jnp.bfloat16, gflop_block(bi, h, d)))
+        h, d = (h // 2 if bi != 4 else h), depth
+    stages.append((
+        "postnorm+pool",
+        lambda x: jnp.mean(jnp.maximum(
+            x * qp["postnorm/A"].astype(jnp.bfloat16)
+            + qp["postnorm/B"].astype(jnp.bfloat16), 0),
+            axis=(1, 2)).astype(jnp.float32),
+        (B, 7, 7, 2048), jnp.bfloat16, 0.0))
+
+    total = 0.0
+    for name, fn, shape, dt, gf in stages:
+        base = jnp.asarray(rng.randn(*shape) * 0.5, dt)
+
+        def make_body(fn=fn, base=base, dt=dt):
+            def body(c, _):
+                out = fn(base + c.astype(dt))
+                return (jnp.mean(out.astype(jnp.float32)) * 1e-6
+                        + c + 1e-3).astype(jnp.float32), ()
+            return body
+
+        c0s = [jnp.asarray(i * 1e-4, jnp.float32) for i in range(4)]
+        per = _per_iter(make_body, c0s, short=8, long=40)
+        total += per
+        rate = gf / per / 1e3 if gf else 0.0
+        print(f"int8-static {name:14s}: {per*1e3:6.3f} ms  "
+              f"{gf:7.1f} GFLOP  {rate:6.1f} T/s", flush=True)
+    print(f"int8-static stage sum: {total*1e3:.2f} ms "
+          f"(whole-trunk measured 9.99)", flush=True)
 
 
 def probe_conv_bwd():
@@ -300,5 +433,8 @@ if __name__ == "__main__":
         "resnet_int8_static": lambda: probe_resnet(True, static=True),
         "resnet_int8_pallas": lambda: probe_resnet(
             True, static=True, use_pallas=True),
+        "resnet_int8_stream": lambda: probe_resnet(
+            True, static=True, int8_stream=True),
+        "int8_stages": probe_int8_stages,
         "conv_bwd": probe_conv_bwd,
     }[which]()

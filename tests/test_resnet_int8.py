@@ -124,7 +124,8 @@ def test_static_scale_path_matches_dynamic(trunk):
     model, variables, x = trunk
     qp = prepare_int8_params(variables)
     scales = calibrate_int8_scales(qp, x)
-    assert len(scales) == 16 * 3  # preact/conv1/conv2 per unit
+    # preact/conv1/conv2 per unit + stream scales (root/out, unit outs)
+    assert len(scales) == 16 * 3 + 1 + 16
 
     got = np.asarray(apply_int8_static(qp, scales, x))
     dyn = np.asarray(apply_int8(qp, x))
@@ -301,3 +302,31 @@ def test_pallas_unit_matches_dense_oracle():
         np.asarray(want_sc, np.float32),
         atol=1e-2, rtol=1e-2,
     )
+
+
+def test_int8_stream_mode_accuracy(trunk):
+    """int8 residual stream (stream activations quantized between
+    units): stays close to the bf16-stream static path and the fp32
+    reference."""
+    from human_dynamics_tpu.models.resnet_int8 import (
+        apply_int8_static, calibrate_int8_scales,
+    )
+
+    model, variables, x = trunk
+    qp = prepare_int8_params(variables)
+    scales = calibrate_int8_scales(qp, x)
+    assert "root/out" in scales
+    assert any(k.endswith("/out") for k in scales if k != "root/out")
+
+    want = np.asarray(model.apply(variables, x, train=False))
+    base = np.asarray(apply_int8_static(qp, scales, x))
+    got = np.asarray(
+        apply_int8_static(qp, scales, x, int8_stream=True)
+    )
+    assert np.isfinite(got).all()
+    cos = np.sum(got * want, axis=1) / (
+        np.linalg.norm(got, axis=1) * np.linalg.norm(want, axis=1)
+    )
+    assert np.all(cos > 0.97), cos
+    rel = np.linalg.norm(got - base) / np.linalg.norm(base)
+    assert rel < 0.15, rel
