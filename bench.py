@@ -64,7 +64,10 @@ def main():
     # the bf16 encoder in the same session; models/resnet_int8.py) +
     # bf16 temporal/IEF tail + Pallas-fused SMPL decode. The
     # bit-parity-bearing fp32 path is the predictor default; both fast
-    # paths are opt-in and documented.
+    # paths are opt-in and documented. int8_root wins at the ISOLATED
+    # trunk level (+5%) but measures ~3% slower through this fused
+    # program (10-rep A/B medians 32.7 vs 33.8 ms/clip) — kept opt-in,
+    # see models/resnet_int8.py.
     predictor = HmmrPredictor(
         model, variables, smpl, batch_size=8, seq_length=20,
         use_fused_smpl=True, bf16_temporal=True,

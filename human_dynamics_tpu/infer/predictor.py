@@ -79,6 +79,8 @@ class HmmrPredictor:
         bf16_encoder: bool = False,
         int8_encoder: bool = False,
         int8_calibration=None,
+        int8_root: bool = False,
+        int8_stream=False,
         bf16_temporal: bool = False,
         groups_per_step: int = 8,
         encode_chunk: int = 120,
@@ -104,6 +106,17 @@ class HmmrPredictor:
         # memory-bound caller may then drop the fp32 resnet subtree from
         # `variables` (the window tail never binds it).
         self.int8_encoder = int8_encoder
+        # int8 root stem (s2d stride-folded conv + int8 maxpool) and
+        # per-block int8 residual stream — static-scale-only variants
+        # of the int8 encoder (models/resnet_int8.py docstring has the
+        # per-variant v5e measurements).
+        self.int8_root = int8_root
+        self.int8_stream = int8_stream
+        if (int8_root or int8_stream) and int8_calibration is None:
+            raise ValueError(
+                "int8_root/int8_stream need int8_calibration (static "
+                "scales calibrate the stream/root requantization)"
+            )
         self._int8_qp = None
         if int8_encoder and int8_calibration is None:
             import warnings
@@ -424,7 +437,9 @@ class HmmrPredictor:
                     if not k.startswith("calib/")
                 }
                 encode = (
-                    (lambda im: apply_int8_static(qp, scales, im))
+                    (lambda im: apply_int8_static(
+                        qp, scales, im, int8_root=self.int8_root,
+                        int8_stream=self.int8_stream))
                     if scales else (lambda im: apply_int8(qp, im))
                 )
                 phi = jax.lax.map(encode, chunks).reshape(

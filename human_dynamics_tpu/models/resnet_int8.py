@@ -27,13 +27,35 @@ MEASURED RESULTS on v5e at batch 160, 224x224 (bf16 trunk: 10.63 ms):
   preact read and shortcut add, but the measured loss shows those
   passes are not the binding cost at this size (XLA fuses them into
   conv operands/epilogues either way; the extra f32 round/clip VPU
-  work in every epilogue outweighs the byte savings). Kept as a
-  tested opt-in; refutes the "stream elementwise is the 131 vs 366
-  T/s gap" hypothesis — the gap lives in root/block1 geometry and
-  strided units, not the stream dtype.
-Use ``HmmrPredictor(int8_encoder=True, int8_calibration=frames)`` for
-the static path; dynamic (no calibration) stays for weight-memory-bound
-serving and warns that it is slower.
+  work in every epilogue outweighs the byte savings). Per-BLOCK
+  restriction doesn't rescue it: with the int8 root (9.55 below),
+  stream (1,) = 9.76 and stream (1, 2) = 9.88 — negative even where
+  the spatial maps are largest. Kept as a tested opt-in; refutes the
+  "stream elementwise is the 131 vs 366 T/s gap" hypothesis — the
+  gap lives in root/block1 geometry and strided units, not the
+  stream dtype.
+- STATIC + INT8 ROOT STEM (``int8_root=True``): **9.55 ms = 16.8k
+  img/s at B=160, 6.19 ms = 19.4k img/s at B=120** — the fastest
+  measured ISOLATED trunk on this chip (+5% over static's
+  10.02/6.49 in the same session). The stem in isolation drops
+  1.97 -> 1.16 ms: the stride-folded space-to-depth conv (7x7/2
+  Cin=3 == exact 4x4/1 Cin=12, `_s2d_root_weights`) fixes the worst
+  MXU geometry in the trunk, input quantization is lossless-grade on
+  natively-8-bit images (fixed 1/127 grid), and the conv epilogue
+  requantizes so the 3x3/2 maxpool runs on int8 (exact: per-channel
+  max commutes with a positive scale), halving the stem's dominant
+  HBM traffic. Per-stage attribution that led here: root+pool
+  1.85 ms @ 20 T/s, block1 3.66 ms @ 47 T/s, blocks 3-4 @ 219-274
+  T/s (probe_mxu int8_stages). BUT inside the predictor's fused
+  whole-clip program it measures ~3% SLOWER end-to-end (10-rep A/B
+  medians 33.8 vs 32.7 ms per 480-frame clip): the s2d
+  reshape+transpose is an extra unfused HBM pass there, and the
+  isolated stem win does not survive XLA's scheduling of the larger
+  program. Kept as a tested opt-in; bench.py stays on the
+  bf16-root static config.
+Use ``HmmrPredictor(int8_encoder=True, int8_calibration=frames,
+int8_root=True)`` for the fastest path; dynamic (no calibration) stays
+for weight-memory-bound serving and warns that it is slower.
 
 Scheme (standard symmetric PTQ, chosen for exactness of intent and
 zero calibration data):
@@ -90,6 +112,34 @@ def _quant_weight(w: jax.Array):
     return q, s.astype(jnp.float32)
 
 
+def _s2d_root_weights(w: jax.Array) -> jax.Array:
+    """Fold the root 7x7/stride-2 conv into an exact 4x4/stride-1 conv
+    over space-to-depth input: 7x7/2 on (224,224,3) == 4x4/1 on
+    (112,112,12) with rearranged (1/16 zero-padded) weights. Each
+    original tap (ky,kx) maps to s2d tap (ay,ax) and phase (dy,dx):
+    ky-3 = 2*ay' + dy, ay = ay'+2 — standard MLPerf-ResNet stem trick,
+    done once at weight-prep, NOT a retrain (the transform is exact).
+    """
+    w2 = jnp.zeros((4, 4, 12, w.shape[-1]), w.dtype)
+    for ky in range(7):
+        dy = (ky - 3) % 2
+        ay = (ky - 3 - dy) // 2 + 2
+        for kx in range(7):
+            dx = (kx - 3) % 2
+            ax = (kx - 3 - dx) // 2 + 2
+            c2 = (dy * 2 + dx) * 3
+            w2 = w2.at[ay, ax, c2:c2 + 3, :].set(w[ky, kx])
+    return w2
+
+
+def _s2d(x: jax.Array) -> jax.Array:
+    """(N, H, W, C) -> (N, H/2, W/2, 4C), 2x2 phase-major."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, h // 2, w // 2, 4 * c)
+
+
 def prepare_int8_params(variables) -> Dict[str, jax.Array]:
     """Flatten + quantize ResNetV2_50 flax variables for apply_int8.
 
@@ -99,9 +149,15 @@ def prepare_int8_params(variables) -> Dict[str, jax.Array]:
     """
     params = variables["params"]
     stats = variables["batch_stats"]
+    w_root = params["conv1"]["kernel"]
+    wq_s2d, s_s2d = _quant_weight(_s2d_root_weights(w_root))
     out: Dict[str, jax.Array] = {
-        "root/w": params["conv1"]["kernel"].astype(jnp.bfloat16),
+        "root/w": w_root.astype(jnp.bfloat16),
         "root/b": params["conv1"]["bias"].astype(jnp.bfloat16),
+        # Exact stride-folded space-to-depth root (int8_root fast path)
+        "root/wq_s2d": wq_s2d,
+        "root/scale_s2d": s_s2d,
+        "root/b32": params["conv1"]["bias"].astype(jnp.float32),
     }
     for bi, (num_units, _depth, _db) in enumerate(BLOCKS, start=1):
         for ui in range(1, num_units + 1):
@@ -196,6 +252,7 @@ def apply_int8_static(
     use_pallas: bool = False,
     pallas_blocks: tuple = (2, 3, 4),
     int8_stream: bool = False,
+    int8_root: bool = False,
 ) -> jax.Array:
     """Static-scale int8 trunk: requant fused into conv epilogues.
 
@@ -216,6 +273,7 @@ def apply_int8_static(
     return apply_int8(
         qp, images, _static_scales=scales, _use_pallas=use_pallas,
         _pallas_blocks=pallas_blocks, _int8_stream=int8_stream,
+        _int8_root=int8_root,
     )
 
 
@@ -227,34 +285,69 @@ def apply_int8(
     _use_pallas: bool = False,
     _pallas_blocks: tuple = (2, 3, 4),
     _int8_stream: bool = False,
+    _int8_root: bool = False,
 ) -> jax.Array:
     """(N, H, W, 3) [-1, 1] images -> (N, 2048) fp32 phi."""
-    x = images.astype(jnp.bfloat16)
-    # Root conv2d_same 7x7/2 (bf16) + 3x3/2 SAME maxpool.
-    x = jax.lax.conv_general_dilated(
-        x, qp["root/w"], (2, 2), ((3, 3), (3, 3)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    ).astype(jnp.bfloat16) + qp["root/b"]
-    x = jax.lax.reduce_window(
-        x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1), "SAME"
+    # int8 residual stream: inter-unit activations ride HBM as int8
+    # with calibrated per-unit scales, halving the traffic of the
+    # stream-bound elementwise passes (preact read, shortcut add);
+    # every dequant folds into an adjacent fused pass. GLOBALLY
+    # (True = all blocks) this measured SLOWER than the bf16 stream
+    # (10.57 vs 9.99 ms at batch 160 on v5e): the byte savings only
+    # dominate where spatial maps are large, so a per-block tuple
+    # (e.g. (1,)) restricts streaming to the early blocks — see the
+    # module docstring for measurements.
+    stream_blocks = (
+        (1, 2, 3, 4) if _int8_stream is True
+        else tuple(_int8_stream) if _int8_stream else ()
     )
-    if _observe is not None:
-        _observe["root/out"] = (
-            jnp.max(jnp.abs(x)).astype(jnp.float32) / 127.0 + 1e-12
+    if stream_blocks or _int8_root:
+        assert _static_scales is not None, (
+            "int8_stream/int8_root need calibrated static scales"
         )
-    if _int8_stream:
-        # int8 residual stream: the inter-unit activations ride HBM as
-        # int8 with calibrated per-unit scales, halving the traffic of
-        # the stream-bound elementwise passes (preact read, shortcut
-        # add). Every dequant folds into an adjacent fused pass.
-        # MEASURED SLOWER than the bf16 stream (10.57 vs 9.99 ms at
-        # batch 160 on v5e) — see the module docstring.
-        assert _static_scales is not None, "int8_stream needs scales"
-        s_stream = _static_scales["root/out"]
-        x = jnp.clip(
-            jnp.round(x.astype(jnp.float32) / s_stream), -127, 127
+    s_stream = None
+    if _int8_root:
+        # Fast root stem (measured 1.97 -> 1.16 ms at batch 160 on
+        # v5e): images are natively 8-bit so the fixed 1/127 grid
+        # loses nothing; the stride-folded s2d 4x4 conv replaces the
+        # MXU-hostile Cin=3 7x7/2 geometry; the conv epilogue
+        # requantizes so the 3x3/2 maxpool runs on int8 (exact per
+        # channel: max commutes with the positive scale), halving the
+        # stem's dominant HBM traffic.
+        s_root = _static_scales["root/out"]
+        xq = jnp.clip(
+            jnp.round(images * 127.0), -127, 127
         ).astype(jnp.int8)
+        y = jax.lax.conv_general_dilated(
+            _s2d(xq), qp["root/wq_s2d"], (1, 1), ((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
+        yq = jnp.clip(jnp.round(
+            y.astype(jnp.float32)
+            * (qp["root/scale_s2d"] / (127.0 * s_root))
+            + qp["root/b32"] / s_root), -127, 127).astype(jnp.int8)
+        x = jax.lax.reduce_window(
+            yq, jnp.int8(-128), jax.lax.max, (1, 3, 3, 1),
+            (1, 2, 2, 1), "SAME"
+        )
+        s_stream = s_root  # x is int8 until a non-stream block
+    else:
+        x = images.astype(jnp.bfloat16)
+        # Root conv2d_same 7x7/2 (bf16) + 3x3/2 SAME maxpool.
+        x = jax.lax.conv_general_dilated(
+            x, qp["root/w"], (2, 2), ((3, 3), (3, 3)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16) + qp["root/b"]
+        x = jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+            "SAME"
+        )
+        if _observe is not None:
+            _observe["root/out"] = (
+                jnp.max(jnp.abs(x)).astype(jnp.float32) / 127.0 + 1e-12
+            )
 
     def dequant(y_i32, s_x, scale, bias, relu):
         # fp32 math inside one fused elementwise pass (registers, not
@@ -296,16 +389,35 @@ def apply_int8(
         pending_specs.clear()
         return x
 
+    def _boundary_scale(bi):
+        if bi == 1:
+            return _static_scales["root/out"]
+        n_prev = BLOCKS[bi - 2][0]
+        return _static_scales[
+            f"block{bi-1}/unit_{n_prev}/bottleneck_v2/out"]
+
     cur_depth = x.shape[-1]  # logical channels incl. pending chain units
     for bi, (num_units, depth, _db) in enumerate(BLOCKS, start=1):
         last_block = bi == len(BLOCKS)
+        in_stream = bi in stream_blocks
+        # Stream <-> bf16 transitions happen at block boundaries (one
+        # cheap elementwise pass over the between-block map).
+        if in_stream and s_stream is None:
+            x = flush_chain(x)
+            s_stream = _boundary_scale(bi)
+            x = jnp.clip(
+                jnp.round(x.astype(jnp.float32) / s_stream), -127, 127
+            ).astype(jnp.int8)
+        elif not in_stream and s_stream is not None:
+            x = x.astype(jnp.bfloat16) * s_stream.astype(jnp.bfloat16)
+            s_stream = None
         for ui in range(1, num_units + 1):
             stride = 2 if (ui == num_units and not last_block) else 1
             pre = f"block{bi}/unit_{ui}/bottleneck_v2/"
             depth_in = cur_depth
             cur_depth = depth
 
-            if (_use_pallas and not _int8_stream
+            if (_use_pallas and not in_stream
                     and _static_scales is not None
                     and stride == 1 and _db >= 128
                     and bi in _pallas_blocks):
@@ -321,7 +433,7 @@ def apply_int8(
                 continue
             x = flush_chain(x)
 
-            if _int8_stream:
+            if in_stream:
                 s_p = _static_scales[pre + "preact"]
                 # preact+quant directly from the int8 stream: ONE fused
                 # pass reading 1 byte/el instead of 2.
@@ -356,7 +468,7 @@ def apply_int8(
                     x if stride == 1 else x[:, ::stride, ::stride, :]
                 )
                 shortcut = (
-                    (sc_raw, s_stream) if _int8_stream else sc_raw
+                    (sc_raw, s_stream) if in_stream else sc_raw
                 )
             else:
                 y = _conv_s8(pq, qp[pre + "shortcut/wq"], stride)
@@ -389,7 +501,7 @@ def apply_int8(
                 if _observe is not None:
                     _observe[pre + "conv2"] = s_h
             y = _conv_s8(hq, qp[pre + "conv3/wq"], 1)
-            if _int8_stream:
+            if in_stream:
                 # Fused add+requant on (int8 shortcut | f32 shortcut,
                 # int32 conv3): one elementwise pass, int8 out.
                 s_out = _static_scales[pre + "out"]
@@ -418,7 +530,7 @@ def apply_int8(
                     )
 
     x = flush_chain(x)  # block4's stride-1 chain ends the trunk
-    if _int8_stream:
+    if s_stream is not None:  # trunk ended in-stream (block4 streamed)
         x = jnp.maximum(
             x.astype(jnp.float32) * (s_stream * qp["postnorm/A"])
             + qp["postnorm/B"],

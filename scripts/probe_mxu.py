@@ -45,6 +45,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from human_dynamics_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 rng = np.random.RandomState(0)
 
 
@@ -146,10 +150,11 @@ def probe_convs():
 
 
 def probe_resnet(int8: bool, static: bool = False,
-                 use_pallas: bool = False, int8_stream: bool = False):
+                 use_pallas: bool = False, int8_stream=False,
+                 int8_root: bool = False):
     from human_dynamics_tpu.models.resnet import ResNetV2_50
 
-    B = 160
+    B = int(os.environ.get("PROBE_BATCH", "160"))
     model = ResNetV2_50()
     images = jnp.asarray(rng.randn(B, 224, 224, 3) * 0.5, jnp.float32)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), images[:1])
@@ -172,6 +177,7 @@ def probe_resnet(int8: bool, static: bool = False,
             fwd = lambda x: apply_int8_static(
                 qp, scales, x, use_pallas=use_pallas,
                 pallas_blocks=pb, int8_stream=int8_stream,
+                int8_root=int8_root,
             )
         else:
             fwd = lambda x: apply_int8(qp, x)
@@ -195,7 +201,9 @@ def probe_resnet(int8: bool, static: bool = False,
     if use_pallas:
         tag += "-pallas"
     if int8_stream:
-        tag += "-stream"
+        tag += f"-stream{int8_stream if int8_stream is not True else ''}"
+    if int8_root:
+        tag += "-s2droot"
     print(f"resnet50 fwd {tag}: {per*1e3:.2f} ms/batch{B} = "
           f"{B/per:.0f} img/s = {2*4.1e9*B/per/1e12:.1f} T/s eff.",
           flush=True)
@@ -330,6 +338,293 @@ def probe_int8_stages():
           f"(whole-trunk measured 9.99)", flush=True)
 
 
+def probe_block_stream(bi: int = 1):
+    """Per-block int8-stream timing for block `bi` in isolation.
+
+    The GLOBAL int8 stream measured negative (10.57 vs 9.99), but the
+    byte savings concentrate where spatial maps are large: block1's
+    stream elementwise moves ~1.2 GB/step (56^2 maps), blocks 3-4 move
+    ~1/8 of that and only pay the extra round/clip VPU work. This times
+    one block both ways to decide a per-block stream split.
+    """
+    from human_dynamics_tpu.models.resnet import ResNetV2_50
+    from human_dynamics_tpu.models.resnet_int8 import (
+        BLOCKS, _conv_s8, calibrate_int8_scales, prepare_int8_params,
+    )
+
+    B = 160
+    model = ResNetV2_50()
+    images = jnp.asarray(rng.randn(B, 224, 224, 3) * 0.5, jnp.float32)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), images[:1])
+    qp = jax.jit(prepare_int8_params)(variables)
+    scales = jax.jit(
+        lambda im: calibrate_int8_scales(qp, im))(images[:16])
+    jax.block_until_ready(scales)
+
+    h_in = {1: 56, 2: 28, 3: 14, 4: 7}[bi]
+    d_in = {1: 64, 2: 256, 3: 512, 4: 1024}[bi]
+    num_units, depth, _db = BLOCKS[bi - 1]
+
+    def run_stream(xq, s_stream):
+        x = xq
+        depth_in = d_in
+        for ui in range(1, num_units + 1):
+            stride = 2 if (ui == num_units and bi != 4) else 1
+            pre = f"block{bi}/unit_{ui}/bottleneck_v2/"
+            s_p = scales[pre + "preact"]
+            pq = jnp.clip(jnp.round(jnp.maximum(
+                x.astype(jnp.float32)
+                * (s_stream * qp[pre + "preact/A"] / s_p)
+                + qp[pre + "preact/B"] / s_p, 0)), 0, 127,
+            ).astype(jnp.int8)
+            if depth == depth_in:
+                sc = (x if stride == 1 else x[:, ::2, ::2, :],
+                      s_stream)
+            else:
+                y = _conv_s8(pq, qp[pre + "shortcut/wq"], stride)
+                sc = (y, s_p * qp[pre + "shortcut/scale"],
+                      qp[pre + "shortcut/bias"])
+            y = _conv_s8(pq, qp[pre + "conv1/wq"], 1)
+            s_h = scales[pre + "conv1"]
+            y = jnp.clip(jnp.round(jnp.maximum(
+                y.astype(jnp.float32)
+                * (s_p * qp[pre + "conv1/scale"] / s_h)
+                + qp[pre + "conv1/bias"] / s_h, 0)), 0, 127,
+            ).astype(jnp.int8)
+            y = _conv_s8(y, qp[pre + "conv2/wq"], stride)
+            s_h2 = scales[pre + "conv2"]
+            y = jnp.clip(jnp.round(jnp.maximum(
+                y.astype(jnp.float32)
+                * (s_h * qp[pre + "conv2/scale"] / s_h2)
+                + qp[pre + "conv2/bias"] / s_h2, 0)), 0, 127,
+            ).astype(jnp.int8)
+            y = _conv_s8(y, qp[pre + "conv3/wq"], 1)
+            s_out = scales[pre + "out"]
+            res = y.astype(jnp.float32) * (
+                s_h2 * qp[pre + "conv3/scale"] / s_out
+            ) + qp[pre + "conv3/bias"] / s_out
+            if len(sc) == 2:
+                res = res + sc[0].astype(jnp.float32) * (
+                    sc[1] / s_out)
+            else:
+                res = res + (sc[0].astype(jnp.float32) * (
+                    sc[1] / s_out) + sc[2] / s_out)
+            x = jnp.clip(jnp.round(res), -127, 127).astype(jnp.int8)
+            s_stream = s_out
+            depth_in = depth
+        return x
+
+    base = jnp.asarray(
+        rng.randint(-100, 100, (B, h_in, h_in, d_in)), jnp.int8)
+    s0 = scales[
+        "root/out" if bi == 1
+        else f"block{bi-1}/unit_{BLOCKS[bi-2][0]}/bottleneck_v2/out"]
+
+    def make_body():
+        def body(c, _):
+            # data-dependent input (one cheap pass over the int8 map);
+            # same scalar-carry chaining as the int8_stages baseline.
+            xin = jnp.clip(
+                base.astype(jnp.int32)
+                + jnp.round(c).astype(jnp.int32), -127, 127
+            ).astype(jnp.int8)
+            out = run_stream(xin, s0)
+            return (jnp.mean(out.astype(jnp.float32)) * 1e-6
+                    + c + 1e-3).astype(jnp.float32), ()
+        return body
+
+    c0s = [jnp.asarray(i * 1e-4, jnp.float32) for i in range(4)]
+    per = _per_iter(make_body, c0s, short=8, long=40)
+    print(f"block{bi} int8-STREAM: {per*1e3:.3f} ms "
+          f"(bf16-stream baseline from int8_stages)", flush=True)
+
+
+def probe_root_train():
+    """Training-geometry root probe: fwd+wgrad of the bf16 root conv in
+    the 7x7/2 form vs the exact s2d-folded 4x4/1 form (B=160 images =
+    B8 T20 image-mode). The image-step decomposition charges root wgrad
+    ~1.8 ms at 14.6 T/s (Cin=3 is the worst wgrad geometry in the
+    trunk); the s2d form contracts over Cin*K*K=192 with no stride.
+    Grad flows through the scatter-built folded weights, so the probe
+    matches what a differentiable s2d root module would cost. relu
+    wraps the conv so XLA cannot hoist a constant gradient out of the
+    timing scan (docs/perf_image_training.md gotcha).
+    """
+    B = 160
+    w0 = jnp.asarray(rng.randn(7, 7, 3, 64) * 0.1, jnp.float32)
+    images = jnp.asarray(rng.randn(B, 224, 224, 3) * 0.5, jnp.float32)
+
+    def s2d_weights(w):
+        w2 = jnp.zeros((4, 4, 12, 64), w.dtype)
+        for ky in range(7):
+            dy = (ky - 3) % 2
+            ay = (ky - 3 - dy) // 2 + 2
+            for kx in range(7):
+                dx = (kx - 3) % 2
+                ax = (kx - 3 - dx) // 2 + 2
+                c2 = (dy * 2 + dx) * 3
+                w2 = w2.at[ay, ax, c2:c2 + 3, :].set(w[ky, kx])
+        return w2
+
+    def s2d(x):
+        b, h, wd, c = x.shape
+        x = x.reshape(b, h // 2, 2, wd // 2, 2, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5)
+        return x.reshape(b, h // 2, wd // 2, 4 * c)
+
+    def loss_base(w, x):
+        y = jax.lax.conv_general_dilated(
+            x.astype(jnp.bfloat16), w.astype(jnp.bfloat16), (2, 2),
+            ((3, 3), (3, 3)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        return jnp.sum(jnp.maximum(y, 0))
+
+    def loss_s2d(w, x):
+        y = jax.lax.conv_general_dilated(
+            s2d(x.astype(jnp.bfloat16)),
+            s2d_weights(w).astype(jnp.bfloat16),
+            (1, 1), ((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        return jnp.sum(jnp.maximum(y, 0))
+
+    for tag, loss in (("7x7/2", loss_base), ("s2d 4x4/1", loss_s2d)):
+        def make_body(loss=loss):
+            def body(c, _):
+                g = jax.grad(loss)(w0 + c, images)
+                return (jnp.mean(g) * 1e-6 + c + 1e-3).astype(
+                    jnp.float32), ()
+            return body
+
+        c0s = [jnp.asarray(i * 1e-4, jnp.float32) for i in range(4)]
+        per = _per_iter(make_body, c0s, short=8, long=40)
+        # 2 passes (fwd + wgrad; no dgrad — x is not differentiated),
+        # 2.36e8 FLOPs per image per pass in either geometry.
+        flops = 2 * 2.36e8 * B
+        print(f"root fwd+wgrad {tag}: {per*1e3:.3f} ms "
+              f"({flops/per/1e12:.1f} T/s)", flush=True)
+
+
+def probe_root_variants():
+    """Root-stem variants: the int8_stages probe charges root+pool
+    1.85 ms at 20.4 T/s (Cin=3 7x7/2 is the worst MXU geometry in the
+    trunk). Space-to-depth with the STRIDE FOLDED IN is exact: 7x7/2 on
+    224^2x3 == 4x4/1 on 112^2x12 with rearranged (zero-padded 1/16)
+    weights, done once at weight-prep — contraction 147 -> 192 and no
+    stride. Variants: bf16 s2d, int8 s2d (images are natively 8-bit so
+    a fixed 1/127 scale is lossless-grade), int8 s2d + int8 maxpool
+    (max commutes with monotone quantization, halving pool traffic).
+    """
+    B = 160
+    w = jnp.asarray(rng.randn(7, 7, 3, 64) * 0.1, jnp.float32)
+    bias = jnp.asarray(rng.randn(64) * 0.01, jnp.float32)
+    images = jnp.asarray(rng.randn(B, 224, 224, 3) * 0.5, jnp.float32)
+
+    def s2d_weights(w):
+        w2 = jnp.zeros((4, 4, 12, 64), w.dtype)
+        for ky in range(7):
+            dy = (ky - 3) % 2
+            ay = (ky - 3 - dy) // 2 + 2
+            for kx in range(7):
+                dx = (kx - 3) % 2
+                ax = (kx - 3 - dx) // 2 + 2
+                c2 = (dy * 2 + dx) * 3
+                w2 = w2.at[ay, ax, c2:c2 + 3, :].set(w[ky, kx])
+        return w2
+
+    w2 = s2d_weights(w)
+
+    def s2d(x):
+        b, h, wd, c = x.shape
+        x = x.reshape(b, h // 2, 2, wd // 2, 2, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5)
+        return x.reshape(b, h // 2, wd // 2, 4 * c)
+
+    def pool_bf16(x):
+        return jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+            "SAME")
+
+    def v0_base(x):
+        y = jax.lax.conv_general_dilated(
+            x.astype(jnp.bfloat16), w.astype(jnp.bfloat16), (2, 2),
+            ((3, 3), (3, 3)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16) + bias.astype(jnp.bfloat16)
+        return pool_bf16(y)
+
+    def v1_s2d_bf16(x):
+        y = jax.lax.conv_general_dilated(
+            s2d(x.astype(jnp.bfloat16)), w2.astype(jnp.bfloat16),
+            (1, 1), ((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16) + bias.astype(jnp.bfloat16)
+        return pool_bf16(y)
+
+    s_img = 1.0 / 127.0
+    s_w2 = jnp.max(jnp.abs(w2), axis=(0, 1, 2)) / 127.0 + 1e-12
+    w2q = jnp.clip(jnp.round(w2 / s_w2), -127, 127).astype(jnp.int8)
+
+    def int8_conv(x):
+        xq = jnp.clip(jnp.round(s2d(x) / s_img), -127, 127).astype(
+            jnp.int8)
+        return jax.lax.conv_general_dilated(
+            xq, w2q, (1, 1), ((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
+
+    def v2_s2d_int8(x):
+        y = (int8_conv(x).astype(jnp.float32) * (s_img * s_w2)
+             + bias).astype(jnp.bfloat16)
+        return pool_bf16(y)
+
+    # per-channel scales break max-commutation ACROSS channels, but
+    # maxpool pools each channel independently, so per-channel int8
+    # maxpool remains exact; relu-free root keeps negatives -> -127 lo.
+    s_root = 8.0 / 127.0  # static headline scale for the pooled stream
+    def v3_s2d_int8_pool(x):
+        y = int8_conv(x)
+        yq = jnp.clip(jnp.round(
+            y.astype(jnp.float32) * (s_img * s_w2 / s_root)
+            + bias / s_root), -127, 127).astype(jnp.int8)
+        p = jax.lax.reduce_window(
+            yq, jnp.int8(-128), jax.lax.max, (1, 3, 3, 1),
+            (1, 2, 2, 1), "SAME")
+        return p.astype(jnp.bfloat16) * jnp.bfloat16(s_root)
+
+    variants = [("v0 7x7/2 bf16 (base)", v0_base),
+                ("v1 s2d4x4 bf16", v1_s2d_bf16),
+                ("v2 s2d4x4 int8", v2_s2d_int8),
+                ("v3 s2d4x4 int8+int8pool", v3_s2d_int8_pool)]
+
+    ref = None
+    for name, fn in variants:
+        out = np.asarray(jax.jit(fn)(images[:2]), np.float32)
+        if ref is None:
+            ref = out
+        err = np.abs(out - ref).max()
+        print(f"root {name}: max|diff vs v0| = {err:.4f}", flush=True)
+
+    for name, fn in variants:
+        def make_body(fn=fn):
+            def body(c, _):
+                out = fn(images + c)
+                return (jnp.mean(out.astype(jnp.float32)) * 1e-6
+                        + c + 1e-3).astype(jnp.float32), ()
+            return body
+
+        c0s = [jnp.asarray(i * 1e-4, jnp.float32) for i in range(4)]
+        per = _per_iter(make_body, c0s, short=8, long=40)
+        print(f"root {name}: {per*1e3:.3f} ms", flush=True)
+
+
 def probe_conv_bwd():
     """Per-geometry conv fwd vs input-grad vs filter-grad (bf16, B=160).
 
@@ -435,6 +730,16 @@ if __name__ == "__main__":
             True, static=True, use_pallas=True),
         "resnet_int8_stream": lambda: probe_resnet(
             True, static=True, int8_stream=True),
+        "resnet_int8_root": lambda: probe_resnet(
+            True, static=True, int8_root=True),
+        "resnet_int8_root_s1": lambda: probe_resnet(
+            True, static=True, int8_root=True, int8_stream=(1,)),
+        "resnet_int8_root_s12": lambda: probe_resnet(
+            True, static=True, int8_root=True, int8_stream=(1, 2)),
         "int8_stages": probe_int8_stages,
+        "root_variants": probe_root_variants,
+        "root_train": probe_root_train,
+        "block_stream": lambda: probe_block_stream(
+            int(os.environ.get("STREAM_BLOCK", "1"))),
         "conv_bwd": probe_conv_bwd,
     }[which]()

@@ -176,11 +176,24 @@ def test_predictor_int8_static_end_to_end():
         dyn = HmmrPredictor(
             model, variables, smpl, int8_encoder=True, **kw
         )
+    root = HmmrPredictor(
+        model, variables, smpl, int8_encoder=True,
+        int8_calibration=images[:8], int8_root=True, **kw
+    )
+    with pytest.raises(ValueError, match="int8_calibration"):
+        HmmrPredictor(
+            model, variables, smpl, int8_encoder=True,
+            int8_root=True, **kw
+        )
     got = static.predict_all_images(images)
     want = dyn.predict_all_images(images)
+    got_root = root.predict_all_images(images)
     assert set(got) == set(want)
     assert np.isfinite(got["omegas"]).all()
     diff = np.abs(got["omegas"] - want["omegas"]).max()
+    assert diff < 0.5, diff
+    assert np.isfinite(got_root["omegas"]).all()
+    diff = np.abs(got_root["omegas"] - got["omegas"]).max()
     assert diff < 0.5, diff
 
 
@@ -330,3 +343,59 @@ def test_int8_stream_mode_accuracy(trunk):
     assert np.all(cos > 0.97), cos
     rel = np.linalg.norm(got - base) / np.linalg.norm(base)
     assert rel < 0.15, rel
+
+
+def test_s2d_root_weights_exact(trunk):
+    """Stride-folded space-to-depth root: 4x4/1 conv on s2d input must
+    reproduce the 7x7/2 conv2d_same root exactly (same taps, re-indexed
+    — an identity at the arithmetic level, checked in fp32)."""
+    from human_dynamics_tpu.models.resnet_int8 import (
+        _s2d, _s2d_root_weights,
+    )
+
+    w = jnp.asarray(RNG.randn(7, 7, 3, 16).astype(np.float32))
+    x = jnp.asarray(
+        RNG.randint(-127, 128, (2, 32, 32, 3)).astype(np.float32)
+    )
+    want = jax.lax.conv_general_dilated(
+        x, w, (2, 2), ((3, 3), (3, 3)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    got = jax.lax.conv_general_dilated(
+        _s2d(x), _s2d_root_weights(w), (1, 1), ((2, 1), (2, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-3
+    )
+
+
+def test_int8_root_and_block_stream_accuracy(trunk):
+    """int8 root stem (s2d folded conv + int8 maxpool) and per-block
+    stream tuples stay close to the static baseline on [-1,1] input."""
+    from human_dynamics_tpu.models.resnet_int8 import (
+        apply_int8_static, calibrate_int8_scales,
+    )
+
+    model, variables, x = trunk
+    x = jnp.clip(x, -1.0, 1.0)  # real inputs are 2*img/255-1
+    qp = prepare_int8_params(variables)
+    scales = calibrate_int8_scales(qp, x)
+
+    want = np.asarray(model.apply(variables, x, train=False))
+    base = np.asarray(apply_int8_static(qp, scales, x))
+
+    for kwargs in (
+        {"int8_root": True},
+        {"int8_root": True, "int8_stream": (1,)},
+        {"int8_stream": (1, 2)},
+    ):
+        got = np.asarray(apply_int8_static(qp, scales, x, **kwargs))
+        assert np.isfinite(got).all(), kwargs
+        cos = np.sum(got * want, axis=1) / (
+            np.linalg.norm(got, axis=1) * np.linalg.norm(want, axis=1)
+        )
+        assert np.all(cos > 0.97), (kwargs, cos)
+        rel = np.linalg.norm(got - base) / np.linalg.norm(base)
+        assert rel < 0.15, (kwargs, rel)
