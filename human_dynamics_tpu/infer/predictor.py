@@ -84,6 +84,7 @@ class HmmrPredictor:
         bf16_temporal: bool = False,
         groups_per_step: int = 8,
         encode_chunk: int = 120,
+        unroll_chunks: int = 0,
     ):
         if pred_mode not in ("pred", "hal"):
             raise ValueError(f"Pred mode {pred_mode!r} not recognized")
@@ -146,7 +147,14 @@ class HmmrPredictor:
                 # its conv epilogue (the fast path; resnet_int8.py).
                 # Stored inside the qp dict (calib/ prefix) so the
                 # fused-predict jit carries one pytree.
-                calib = jnp.asarray(int8_calibration, jnp.float32)
+                calib = jnp.asarray(int8_calibration)
+                if calib.dtype == jnp.uint8:
+                    # Raw frames: apply the same on-device
+                    # normalization the fused path uses (crop.py:52).
+                    calib = (
+                        calib.astype(jnp.float32) * (2.0 / 255.0) - 1.0
+                    )
+                calib = calib.astype(jnp.float32)
                 scales = jax.jit(
                     lambda qp, im: calibrate_int8_scales(qp, im)
                 )(self._int8_qp, calib)
@@ -158,10 +166,26 @@ class HmmrPredictor:
         # window tail; GroupNorm stats stay fp32 inside flax). Omegas are
         # cast back to fp32 before SMPL decode. Same accuracy caveat.
         self.bf16_temporal = bf16_temporal
-        # Frames per encoder step inside the fused program. 120 (= 8*15,
-        # MXU-friendly) measured as fast as 128 on v5e and divides common
-        # clip lengths with less padding waste.
+        # Frames per encoder step inside the fused program. Full
+        # int8-static trunk batch sweep on v5e (img/s): 80: 15.8k,
+        # 96: 18.3k, 112: 18.7k, 120: 18.5k, 128: 19.1k, 144: 14.7k
+        # (XLA tiling cliff), 160: 16.0k, 240: 16.8k. 128 peaks
+        # per-image, but 120 divides common clip lengths (480 = 4*120
+        # exactly vs 32 padded frames at 128) so it stays the default;
+        # both sit on the plateau and well clear of the 144/160 cliff.
         self.encode_chunk = encode_chunk
+        # Unroll the per-chunk encoder loop inside the fused program when
+        # the (static) chunk count is <= this. lax.map lowers to a
+        # while-loop: strict iteration ordering plus a dynamic-update-
+        # slice of the phi buffer per step; unrolling hands XLA one flat
+        # graph of independent chunk encoders it may schedule/fuse
+        # across. MEASURED NEGATIVE on v5e (10-rep interleaved A/B,
+        # bench config, 480-frame clips): 37.6 ms/clip unrolled vs
+        # 33.2 ms lax.map — the flat graph schedules no better and the
+        # final phi concatenate is an extra materialized pass the
+        # while-loop's in-place buffer update avoids. Kept as a tested
+        # opt-in; 0 (default) keeps the lax.map path.
+        self.unroll_chunks = unroll_chunks
         # Window groups are flattened into the batch dimension and
         # processed `groups_per_step` at a time: big batched matmuls and
         # few kernel launches (the per-group lax.map was latency-bound),
@@ -423,6 +447,17 @@ class HmmrPredictor:
             chunks = frames.reshape(
                 (n_chunks, chunk) + frames.shape[1:]
             )
+            if frames.dtype == jnp.uint8:
+                # Raw video frames: normalize ([0,255] -> [-1,1],
+                # crop.py:52's convention) on device, per chunk, fused
+                # into the encoder's first elementwise pass. The clip
+                # rides HBM (and, in real serving, the host->device
+                # link) at 1 byte/pixel instead of 4.
+                norm = lambda im: (
+                    im.astype(jnp.float32) * (2.0 / 255.0) - 1.0
+                )
+            else:
+                norm = lambda im: im
             if self.int8_encoder:
                 from human_dynamics_tpu.models.resnet_int8 import (
                     apply_int8, apply_int8_static,
@@ -438,29 +473,30 @@ class HmmrPredictor:
                 }
                 encode = (
                     (lambda im: apply_int8_static(
-                        qp, scales, im, int8_root=self.int8_root,
+                        qp, scales, norm(im), int8_root=self.int8_root,
                         int8_stream=self.int8_stream))
-                    if scales else (lambda im: apply_int8(qp, im))
+                    if scales else (lambda im: apply_int8(qp, norm(im)))
                 )
+            else:
+                enc_vars = variables
+                cast = (
+                    (lambda im: im.astype(jnp.bfloat16))
+                    if self.bf16_encoder else (lambda im: im)
+                )
+                if self.bf16_encoder:
+                    enc_vars = tree_bf16(variables)
+                encode = lambda im: self.model.apply(
+                    enc_vars, cast(norm(im))[None], train=False,
+                    method=lambda m, x, train: m.encode_images(x, train),
+                )[0].astype(jnp.float32)
+            if 0 < n_chunks <= self.unroll_chunks:
+                phi = jnp.concatenate(
+                    [encode(chunks[i]) for i in range(n_chunks)]
+                )[:n]
+            else:
                 phi = jax.lax.map(encode, chunks).reshape(
                     n_chunks * chunk, -1
                 )[:n]
-            else:
-                enc_vars = variables
-                if self.bf16_encoder:
-                    enc_vars = tree_bf16(variables)
-                    chunks = chunks.astype(jnp.bfloat16)
-                phi = jax.lax.map(
-                    lambda im: self.model.apply(
-                        enc_vars, im[None], train=False,
-                        method=lambda m, x, train: m.encode_images(
-                            x, train
-                        ),
-                    )[0],
-                    chunks,
-                ).reshape(
-                    n_chunks * chunk, -1
-                )[:n].astype(jnp.float32)
         else:
             phi = frames
 
@@ -490,9 +526,12 @@ class HmmrPredictor:
         """Predict a whole sequence with sliding windows.
 
         Args:
-            frames: (N, 224, 224, 3) [-1, 1] images (image mode), or
-                (N, 2048) phi when the model has no resnet; numpy or
-                device arrays.
+            frames: (N, 224, 224, 3) images (image mode) — either
+                [-1, 1] floats, or RAW uint8 [0, 255] frames, which are
+                normalized on device inside the fused program (4x less
+                host->device + HBM input traffic; crop.py:52's
+                convention) — or (N, 2048) phi when the model has no
+                resnet; numpy or device arrays.
             phi: optionally precomputed (N, 2048) features.
             as_numpy: if True, fetch results to host numpy (the demo/pkl
                 path). If False, return device arrays — callers that only
@@ -518,7 +557,16 @@ class HmmrPredictor:
             # Bucket the chunk count ({2^k, 3*2^k}) so assorted video
             # lengths share compiled programs.
             n_chunks = _bucket(n_chunks)
-            frames = jnp.asarray(frames, jnp.float32)
+            # uint8 frames stay uint8 (raw video bytes: 4x less
+            # upload/HBM traffic; normalized on device in the fused
+            # program). Anything else is treated as already-normalized
+            # [-1, 1] float.
+            dtype = (
+                jnp.uint8
+                if getattr(frames, "dtype", None) == np.uint8
+                else jnp.float32
+            )
+            frames = jnp.asarray(frames, dtype)
             inputs = jnp.pad(
                 frames, [(0, n_chunks * chunk - n)] + [(0, 0)] * 3
             )

@@ -240,6 +240,85 @@ def test_groups_per_step_chunking_matches_single_batch():
         )
 
 
+def test_unrolled_chunk_loop_matches_lax_map():
+    """unroll_chunks replaces the fused program's per-chunk lax.map with
+    a flat unrolled graph; results must be identical (same per-chunk
+    math, different scheduling only) in both fp32 and int8-static
+    encoder modes."""
+    from human_dynamics_tpu.models import HmmrModel
+
+    model = HmmrModel(include_resnet=True)
+    smpl = synthetic_smpl_model(num_verts=48, num_kps=25)
+    images = RNG.rand(25, 64, 64, 3).astype(np.float32) * 2 - 1
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 1, 64, 64, 3))
+    )
+    kw = dict(batch_size=2, seq_length=20, encode_chunk=16)
+    for int8 in (False, True):
+        ikw = (
+            dict(int8_encoder=True, int8_calibration=images[:8])
+            if int8 else {}
+        )
+        base = HmmrPredictor(model, variables, smpl, **kw, **ikw)
+        unrolled = HmmrPredictor(
+            model, variables, smpl, unroll_chunks=8, **kw, **ikw
+        )
+        want = base.predict_all_images(images)
+        got = unrolled.predict_all_images(images)
+        assert set(got) == set(want)
+        for k in sorted(want):
+            np.testing.assert_allclose(
+                got[k], want[k], atol=1e-6,
+                err_msg=f"int8={int8}:{k}",
+            )
+
+
+def test_uint8_frames_match_normalized_float():
+    """Raw uint8 frames (normalized on device inside the fused program)
+    must produce the same predictions as host-normalized [-1,1] floats,
+    in both the fp32 and int8-static encoder modes — including uint8
+    calibration frames."""
+    from human_dynamics_tpu.models import HmmrModel
+
+    model = HmmrModel(include_resnet=True)
+    smpl = synthetic_smpl_model(num_verts=48, num_kps=25)
+    raw = RNG.randint(0, 256, (25, 64, 64, 3)).astype(np.uint8)
+    norm = ((raw / 255.0) - 0.5) * 2  # crop.py:52 host convention
+    norm = norm.astype(np.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 1, 64, 64, 3))
+    )
+    kw = dict(batch_size=2, seq_length=20, encode_chunk=16)
+    for int8 in (False, True):
+        fkw = (
+            dict(int8_encoder=True, int8_calibration=norm[:8])
+            if int8 else {}
+        )
+        ukw = (
+            dict(int8_encoder=True, int8_calibration=raw[:8])
+            if int8 else {}
+        )
+        pf = HmmrPredictor(model, variables, smpl, **kw, **fkw)
+        pu = HmmrPredictor(model, variables, smpl, **kw, **ukw)
+        want = pf.predict_all_images(norm)
+        got = pu.predict_all_images(raw)
+        assert set(got) == set(want)
+        # fp32: same math up to the fp association of the normalization
+        # (host (x/255-0.5)*2 vs device x*(2/255)-1). int8: the uint8
+        # calibration batch yields fractionally different static scales,
+        # which moves requant rounding boundaries — quantization-level
+        # deviation, same budget as the other int8 e2e tests.
+        atol = 0.2 if int8 else 1e-3
+        np.testing.assert_allclose(
+            got["omegas"], want["omegas"], atol=atol,
+            err_msg=f"int8={int8}",
+        )
+        np.testing.assert_allclose(
+            got["verts"], want["verts"], atol=atol,
+            err_msg=f"int8={int8}",
+        )
+
+
 def test_bf16_temporal_close_to_fp32():
     """The opt-in bf16 window tail must stay within bf16 tolerance of
     the fp32 path (omegas are cast back to fp32 before SMPL)."""
