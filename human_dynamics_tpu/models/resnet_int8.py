@@ -53,6 +53,19 @@ MEASURED RESULTS on v5e at batch 160, 224x224 (bf16 trunk: 10.63 ms):
   isolated stem win does not survive XLA's scheduling of the larger
   program. Kept as a tested opt-in; bench.py stays on the
   bf16-root static config.
+- STATIC + WIDTH-FOLD ROOT (``int8_root="wfold"``): the transpose-free
+  fix attempt — ``_wfold`` merges adjacent width pixels into channels
+  as a PURE RESHAPE (free in NHWC), giving a 7x4/strides-(2,1) Cin=6
+  conv. Trunk-level it lands between the others (B=160: static 9.87,
+  wfold 9.70, s2d 9.55 ms; B=120 session: 6.10 / 6.32 / 6.15). e2e
+  through the fused predictor (10-rep interleaved A/B medians,
+  480-frame clips): base 32.8, wfold 33.7, s2d 35.6 ms — wfold
+  recovers most of s2d's e2e loss (the transpose WAS a real cost) but
+  still trails the bf16-root static config by ~2.5%. Since removing
+  the transpose did not flip the sign, the remaining cost is the
+  extra full-resolution input quantize pass (f32 read -> int8 write)
+  that the bf16 root avoids by feeding images straight into the conv.
+  Both roots stay tested opt-ins; bench.py stays on base static.
 Use ``HmmrPredictor(int8_encoder=True, int8_calibration=frames,
 int8_root=True)`` for the fastest path; dynamic (no calibration) stays
 for weight-memory-bound serving and warns that it is slower.
@@ -140,6 +153,33 @@ def _s2d(x: jax.Array) -> jax.Array:
     return x.reshape(n, h // 2, w // 2, 4 * c)
 
 
+def _wfold_root_weights(w: jax.Array) -> jax.Array:
+    """Fold only the WIDTH stride of the root 7x7/2 conv: 7x7/2 on
+    (224,224,3) == (7,4)-kernel conv with strides (2,1) and padding
+    ((3,3),(2,1)) on the width-paired view (224,112,6). Unlike full
+    space-to-depth, the input transform ``_wfold`` is a pure reshape
+    (adjacent width pixels merge into channels IN NHWC LAYOUT ORDER),
+    so it costs nothing — no transpose pass. Original tap kx maps to
+    folded column a=(kx+1)//2 and phase p=(kx+1)%2 (channel slot
+    p*C+c); 7 of the 8 (column, phase) slots per row are used. Per
+    output the contraction grows 147 (7x7x3) -> 168 (7x4x6, 12.5%
+    zeros), vs 192 (4x4x12, 23% zeros) for full s2d.
+    """
+    k, _, c, o = w.shape
+    assert k == 7
+    w2 = jnp.zeros((7, 4, 2 * c, o), w.dtype)
+    for kx in range(7):
+        a, p = (kx + 1) // 2, (kx + 1) % 2
+        w2 = w2.at[:, a, p * c:(p + 1) * c, :].set(w[:, kx])
+    return w2
+
+
+def _wfold(x: jax.Array) -> jax.Array:
+    """(N, H, W, C) -> (N, H, W/2, 2C): pure reshape, free in NHWC."""
+    n, h, w, c = x.shape
+    return x.reshape(n, h, w // 2, 2 * c)
+
+
 def prepare_int8_params(variables) -> Dict[str, jax.Array]:
     """Flatten + quantize ResNetV2_50 flax variables for apply_int8.
 
@@ -151,12 +191,17 @@ def prepare_int8_params(variables) -> Dict[str, jax.Array]:
     stats = variables["batch_stats"]
     w_root = params["conv1"]["kernel"]
     wq_s2d, s_s2d = _quant_weight(_s2d_root_weights(w_root))
+    wq_wf, s_wf = _quant_weight(_wfold_root_weights(w_root))
     out: Dict[str, jax.Array] = {
         "root/w": w_root.astype(jnp.bfloat16),
         "root/b": params["conv1"]["bias"].astype(jnp.bfloat16),
         # Exact stride-folded space-to-depth root (int8_root fast path)
         "root/wq_s2d": wq_s2d,
         "root/scale_s2d": s_s2d,
+        # Width-only stride fold (int8_root="wfold"): the input view is
+        # a FREE reshape, no s2d transpose pass.
+        "root/wq_wfold": wq_wf,
+        "root/scale_wfold": s_wf,
         "root/b32": params["conv1"]["bias"].astype(jnp.float32),
     }
     for bi, (num_units, _depth, _db) in enumerate(BLOCKS, start=1):
@@ -252,9 +297,14 @@ def apply_int8_static(
     use_pallas: bool = False,
     pallas_blocks: tuple = (2, 3, 4),
     int8_stream: bool = False,
-    int8_root: bool = False,
+    int8_root=False,
 ) -> jax.Array:
     """Static-scale int8 trunk: requant fused into conv epilogues.
+
+    ``int8_root``: False (bf16 root), True (s2d stride-folded int8
+    stem), or "wfold" (width-only fold — the input view is a free
+    reshape, no transpose pass; built for the fused whole-clip
+    program).
 
     The dynamic path (``apply_int8``) is ~25% slower than bf16 because
     every activation re-quantization needs a max|x| REDUCTION over the
@@ -285,7 +335,7 @@ def apply_int8(
     _use_pallas: bool = False,
     _pallas_blocks: tuple = (2, 3, 4),
     _int8_stream: bool = False,
-    _int8_root: bool = False,
+    _int8_root=False,
 ) -> jax.Array:
     """(N, H, W, 3) [-1, 1] images -> (N, 2048) fp32 phi."""
     # int8 residual stream: inter-unit activations ride HBM as int8
@@ -318,14 +368,28 @@ def apply_int8(
         xq = jnp.clip(
             jnp.round(images * 127.0), -127, 127
         ).astype(jnp.int8)
-        y = jax.lax.conv_general_dilated(
-            _s2d(xq), qp["root/wq_s2d"], (1, 1), ((2, 1), (2, 1)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.int32,
-        )
+        if _int8_root == "wfold":
+            # Width-only fold: _wfold is a pure reshape (free), so the
+            # stem has no transpose pass at all — the variant built for
+            # the fused whole-clip program, where the s2d transpose
+            # measured as an extra unfused HBM pass.
+            y = jax.lax.conv_general_dilated(
+                _wfold(xq), qp["root/wq_wfold"], (2, 1),
+                ((3, 3), (2, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32,
+            )
+            w_scale = qp["root/scale_wfold"]
+        else:
+            y = jax.lax.conv_general_dilated(
+                _s2d(xq), qp["root/wq_s2d"], (1, 1), ((2, 1), (2, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32,
+            )
+            w_scale = qp["root/scale_s2d"]
         yq = jnp.clip(jnp.round(
             y.astype(jnp.float32)
-            * (qp["root/scale_s2d"] / (127.0 * s_root))
+            * (w_scale / (127.0 * s_root))
             + qp["root/b32"] / s_root), -127, 127).astype(jnp.int8)
         x = jax.lax.reduce_window(
             yq, jnp.int8(-128), jax.lax.max, (1, 3, 3, 1),

@@ -203,7 +203,7 @@ def probe_resnet(int8: bool, static: bool = False,
     if int8_stream:
         tag += f"-stream{int8_stream if int8_stream is not True else ''}"
     if int8_root:
-        tag += "-s2droot"
+        tag += "-wfoldroot" if int8_root == "wfold" else "-s2droot"
     print(f"resnet50 fwd {tag}: {per*1e3:.2f} ms/batch{B} = "
           f"{B/per:.0f} img/s = {2*4.1e9*B/per/1e12:.1f} T/s eff.",
           flush=True)
@@ -599,10 +599,48 @@ def probe_root_variants():
             (1, 2, 2, 1), "SAME")
         return p.astype(jnp.bfloat16) * jnp.bfloat16(s_root)
 
+    # Width-only fold: the input view is a PURE RESHAPE in NHWC (no
+    # transpose pass) — built to recover the s2d stem win inside the
+    # fused whole-clip program, where v3's s2d transpose measured as an
+    # extra unfused HBM pass (CLAUDE.md round-3 ledger).
+    def wfold_weights(w):
+        w2 = jnp.zeros((7, 4, 6, 64), w.dtype)
+        for kx in range(7):
+            a, p = (kx + 1) // 2, (kx + 1) % 2
+            w2 = w2.at[:, a, p * 3:(p + 1) * 3, :].set(w[:, kx])
+        return w2
+
+    wf = wfold_weights(w)
+    s_wf = jnp.max(jnp.abs(wf), axis=(0, 1, 2)) / 127.0 + 1e-12
+    wfq = jnp.clip(jnp.round(wf / s_wf), -127, 127).astype(jnp.int8)
+
+    def wfold(x):
+        b, h, wd, c = x.shape
+        return x.reshape(b, h, wd // 2, 2 * c)
+
+    def int8_conv_wf(x):
+        xq = jnp.clip(jnp.round(x / s_img), -127, 127).astype(jnp.int8)
+        return jax.lax.conv_general_dilated(
+            wfold(xq), wfq, (2, 1), ((3, 3), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
+
+    def v4_wfold_int8_pool(x):
+        y = int8_conv_wf(x)
+        yq = jnp.clip(jnp.round(
+            y.astype(jnp.float32) * (s_img * s_wf / s_root)
+            + bias / s_root), -127, 127).astype(jnp.int8)
+        p = jax.lax.reduce_window(
+            yq, jnp.int8(-128), jax.lax.max, (1, 3, 3, 1),
+            (1, 2, 2, 1), "SAME")
+        return p.astype(jnp.bfloat16) * jnp.bfloat16(s_root)
+
     variants = [("v0 7x7/2 bf16 (base)", v0_base),
                 ("v1 s2d4x4 bf16", v1_s2d_bf16),
                 ("v2 s2d4x4 int8", v2_s2d_int8),
-                ("v3 s2d4x4 int8+int8pool", v3_s2d_int8_pool)]
+                ("v3 s2d4x4 int8+int8pool", v3_s2d_int8_pool),
+                ("v4 wfold7x4 int8+int8pool", v4_wfold_int8_pool)]
 
     ref = None
     for name, fn in variants:
@@ -732,6 +770,8 @@ if __name__ == "__main__":
             True, static=True, int8_stream=True),
         "resnet_int8_root": lambda: probe_resnet(
             True, static=True, int8_root=True),
+        "resnet_int8_root_wfold": lambda: probe_resnet(
+            True, static=True, int8_root="wfold"),
         "resnet_int8_root_s1": lambda: probe_resnet(
             True, static=True, int8_root=True, int8_stream=(1,)),
         "resnet_int8_root_s12": lambda: probe_resnet(

@@ -371,6 +371,32 @@ def test_s2d_root_weights_exact(trunk):
     )
 
 
+def test_wfold_root_weights_exact():
+    """Width-only stride fold: (7,4)-kernel strides-(2,1) conv on the
+    free width-paired reshape must reproduce the 7x7/2 conv2d_same root
+    exactly (same taps re-indexed; the height stride stays explicit)."""
+    from human_dynamics_tpu.models.resnet_int8 import (
+        _wfold, _wfold_root_weights,
+    )
+
+    w = jnp.asarray(RNG.randn(7, 7, 3, 16).astype(np.float32))
+    x = jnp.asarray(
+        RNG.randint(-127, 128, (2, 32, 32, 3)).astype(np.float32)
+    )
+    want = jax.lax.conv_general_dilated(
+        x, w, (2, 2), ((3, 3), (3, 3)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    got = jax.lax.conv_general_dilated(
+        _wfold(x), _wfold_root_weights(w), (2, 1), ((3, 3), (2, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-3
+    )
+
+
 def test_int8_root_and_block_stream_accuracy(trunk):
     """int8 root stem (s2d folded conv + int8 maxpool) and per-block
     stream tuples stay close to the static baseline on [-1,1] input."""
@@ -388,6 +414,7 @@ def test_int8_root_and_block_stream_accuracy(trunk):
 
     for kwargs in (
         {"int8_root": True},
+        {"int8_root": "wfold"},
         {"int8_root": True, "int8_stream": (1,)},
         {"int8_stream": (1, 2)},
     ):
