@@ -163,7 +163,37 @@ def split_frozen_params(config: Config, params_e: dict):
             k: v for k, v in params_e.items() if k != "resnet_v2_50"
         }
         return trainable, frozen
+    if config.freeze_resnet_stages and "resnet_v2_50" in params_e:
+        # Staged fine-tuning: freeze the root conv and the first N-1
+        # blocks. Gradients never flow below the first trainable stage
+        # (the input is not differentiated), so XLA prunes the entire
+        # backward through the frozen prefix — including the
+        # worst-geometry convs (root wgrad, block1's C=64 units).
+        n = config.freeze_resnet_stages
+
+        def is_frozen(k: str) -> bool:
+            return k == "conv1" or any(
+                k.startswith(f"block{bi}/") for bi in range(1, n)
+            )
+
+        rn = params_e["resnet_v2_50"]
+        frozen_rn = {k: v for k, v in rn.items() if is_frozen(k)}
+        trainable = {
+            **params_e,
+            "resnet_v2_50": {
+                k: v for k, v in rn.items() if not is_frozen(k)
+            },
+        }
+        return trainable, {"resnet_v2_50": frozen_rn}
     return params_e, {}
+
+
+def merge_frozen_params(trainable: dict, frozen: dict) -> dict:
+    """Inverse of split_frozen_params (one-level-nested dict merge)."""
+    out = dict(trainable)
+    for k, v in frozen.items():
+        out[k] = {**out[k], **v} if k in out else v
+    return out
 
 
 def make_optimizers(config: Config):
@@ -425,7 +455,8 @@ def train_step(
 
     def total_loss(params_e_trainable, params_d_trainable):
         params_e = {
-            **state.params_e, "params": {**params_e_trainable, **frozen_e}
+            **state.params_e,
+            "params": merge_frozen_params(params_e_trainable, frozen_e),
         }
         params_d = {**state.params_d, "params": params_d_trainable}
         e_loss, d_loss, metrics = compute_losses(
@@ -442,9 +473,9 @@ def train_step(
     updates_e, new_opt_e = tx_e.update(
         grads_e, state.opt_state_e, trainable_e
     )
-    new_params_e = {
-        **optax.apply_updates(trainable_e, updates_e), **frozen_e
-    }
+    new_params_e = merge_frozen_params(
+        optax.apply_updates(trainable_e, updates_e), frozen_e
+    )
     updates_d, new_opt_d = tx_d.update(
         grads_d, state.opt_state_d, state.params_d["params"]
     )

@@ -105,6 +105,13 @@ class Config:
     # (the standard pretrained-trunk recipe; also removes batch-stat
     # reductions from the image-mode backward pass).
     freeze_bn_stats: bool = False
+    # Freeze the first N resnet stages during unfrozen fine-tuning:
+    # 1 = root conv, 2 = +block1, ... 5 = everything but postnorm.
+    # Standard staged fine-tuning; on TPU it also prunes the backward
+    # through the worst-MXU-geometry convs (the root 7x7/2 wgrad and
+    # block1's C=64 convs — docs/perf_image_training.md). 0 = off;
+    # ignored when freeze_phi already freezes the whole trunk.
+    freeze_resnet_stages: int = 0
     log_img_step: int = 5000       # rendered-prediction summary period
     log_img_count: int = 10        # frames per rendered summary strip
     log_step: int = 100

@@ -104,6 +104,9 @@ def main() -> None:
     p.add_argument("--freeze_bn_stats", action="store_true",
                    help="fine-tune with inference-mode BatchNorm "
                         "(standard pretrained-trunk recipe)")
+    p.add_argument("--freeze_stages", type=int, default=0,
+                   help="freeze the first N resnet stages (1=root, "
+                        "2=+block1, ...) — prunes their backward")
     p.add_argument("--num_verts", type=int, default=6890)
     p.add_argument("--steps", type=int, default=20,
                    help="chained steps per timed rep")
@@ -124,6 +127,7 @@ def main() -> None:
         use_fused_smpl=args.fused_smpl,
         remat_resnet=args.remat,
         freeze_bn_stats=args.freeze_bn_stats,
+        freeze_resnet_stages=args.freeze_stages,
     )
     smpl = synthetic_smpl_model(num_verts=args.num_verts, num_kps=25)
     rng = np.random.RandomState(0)
@@ -198,6 +202,7 @@ def main() -> None:
         "bf16": args.bf16,
         "fused_smpl": args.fused_smpl,
         "remat": args.remat,
+        "freeze_stages": args.freeze_stages,
         "batch_size": config.batch_size,
         "T": config.T,
         "ms_per_step": round(best * 1e3, 2),

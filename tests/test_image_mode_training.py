@@ -162,6 +162,62 @@ def test_freeze_phi_keeps_resnet_fixed(image_data_dir):
         assert "resnet_v2_50" not in jax.tree_util.keystr(path)
 
 
+def test_freeze_resnet_stages_partial(image_data_dir):
+    """freeze_resnet_stages=2: root conv + block1 stay fixed (and carry
+    no Adam moments); block2+ and the IEF head still train."""
+    import jax
+
+    from human_dynamics_tpu.train.trainer import Trainer
+
+    config = image_config(
+        image_data_dir, freeze_phi=False, freeze_resnet_stages=2,
+        use_3d_label=True,
+    )
+    pipeline = TrainDataPipeline(config)
+    batch = pipeline._assemble_batch()
+    smpl = synthetic_smpl_model(num_verts=32, num_kps=25)
+    trainer = Trainer(config, smpl)
+    rn_before = jax.tree_util.tree_map(
+        np.asarray, trainer.state.params_e["params"]["resnet_v2_50"]
+    )
+    trainer.step(batch)
+    rn_after = jax.tree_util.tree_map(
+        np.asarray,
+        trainer.state.params_e["params"]["resnet_v2_50"],
+    )
+    from human_dynamics_tpu.utils.checkpoint import flatten_tree
+
+    flat_before = flatten_tree(rn_before)
+    flat_after = flatten_tree(rn_after)
+    assert set(flat_before) == set(flat_after)
+    frozen = [k for k in flat_before
+              if k.startswith(("conv1", "block1/"))]
+    thawed = [k for k in flat_before
+              if k.startswith(("block2/", "block3/", "block4/"))]
+    assert frozen and thawed
+    for k in frozen:
+        np.testing.assert_array_equal(flat_before[k], flat_after[k],
+                                      err_msg=k)
+    assert any(
+        not np.allclose(flat_before[k], flat_after[k]) for k in thawed
+    )
+    # Adam moments exist for the trainable blocks but not the frozen
+    # prefix.
+    paths = [
+        jax.tree_util.keystr(p)
+        for p, _ in jax.tree_util.tree_leaves_with_path(
+            trainer.state.opt_state_e
+        )
+    ]
+    assert any("['block2/" in p for p in paths)
+    # The root conv key is directly under resnet_v2_50 (each bottleneck
+    # unit has its own inner 'conv1' — match the full path).
+    assert not any(
+        "['resnet_v2_50']['conv1']" in p or "['block1/" in p
+        for p in paths
+    )
+
+
 def test_image_stream_defers_decode_and_bounds_bytes(image_data_dir):
     """Image-mode shuffle-buffer parity: tubes ride the buffer as
     compressed jpegs, capacity is ~300 (not 16), the byte budget keeps
