@@ -107,10 +107,12 @@ class HmmrPredictor:
         # memory-bound caller may then drop the fp32 resnet subtree from
         # `variables` (the window tail never binds it).
         self.int8_encoder = int8_encoder
-        # int8 root stem (s2d stride-folded conv + int8 maxpool) and
-        # per-block int8 residual stream — static-scale-only variants
-        # of the int8 encoder (models/resnet_int8.py docstring has the
-        # per-variant v5e measurements).
+        # int8 root stem (True: s2d stride-folded conv + int8 maxpool;
+        # "wfold": width-only fold whose input view is a free reshape,
+        # no transpose pass) and per-block int8 residual stream —
+        # static-scale-only variants of the int8 encoder
+        # (models/resnet_int8.py docstring has the per-variant v5e
+        # measurements).
         self.int8_root = int8_root
         self.int8_stream = int8_stream
         if (int8_root or int8_stream) and int8_calibration is None:
@@ -429,6 +431,55 @@ class HmmrPredictor:
 
         return {k: stitch(v) for k, v in out.items()}
 
+    def _chunk_encoder(self, variables, enc_qp, is_uint8: bool):
+        """Build the traced frame-chunk encoder closure for the active
+        precision config: (M, H, W, 3) frames -> (M, 2048) fp32 phi.
+
+        Shared by the offline fused program and the streaming
+        predictor, so both run the identical encoder math.
+        """
+        if is_uint8:
+            # Raw video frames: normalize ([0,255] -> [-1,1],
+            # crop.py:52's convention) on device, fused into the
+            # encoder's first elementwise pass. The clip rides HBM
+            # (and, in real serving, the host->device link) at
+            # 1 byte/pixel instead of 4.
+            norm = lambda im: (
+                im.astype(jnp.float32) * (2.0 / 255.0) - 1.0
+            )
+        else:
+            norm = lambda im: im
+        if self.int8_encoder:
+            from human_dynamics_tpu.models.resnet_int8 import (
+                apply_int8, apply_int8_static,
+            )
+
+            scales = {
+                k[len("calib/"):]: v
+                for k, v in enc_qp.items() if k.startswith("calib/")
+            }
+            qp = {
+                k: v for k, v in enc_qp.items()
+                if not k.startswith("calib/")
+            }
+            return (
+                (lambda im: apply_int8_static(
+                    qp, scales, norm(im), int8_root=self.int8_root,
+                    int8_stream=self.int8_stream))
+                if scales else (lambda im: apply_int8(qp, norm(im)))
+            )
+        enc_vars = variables
+        cast = (
+            (lambda im: im.astype(jnp.bfloat16))
+            if self.bf16_encoder else (lambda im: im)
+        )
+        if self.bf16_encoder:
+            enc_vars = tree_bf16(variables)
+        return lambda im: self.model.apply(
+            enc_vars, cast(norm(im))[None], train=False,
+            method=lambda m, x, train: m.encode_images(x, train),
+        )[0].astype(jnp.float32)
+
     @functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
     def _predict_fused(
         self, variables, enc_qp, frames, n: int, count: int,
@@ -447,48 +498,9 @@ class HmmrPredictor:
             chunks = frames.reshape(
                 (n_chunks, chunk) + frames.shape[1:]
             )
-            if frames.dtype == jnp.uint8:
-                # Raw video frames: normalize ([0,255] -> [-1,1],
-                # crop.py:52's convention) on device, per chunk, fused
-                # into the encoder's first elementwise pass. The clip
-                # rides HBM (and, in real serving, the host->device
-                # link) at 1 byte/pixel instead of 4.
-                norm = lambda im: (
-                    im.astype(jnp.float32) * (2.0 / 255.0) - 1.0
-                )
-            else:
-                norm = lambda im: im
-            if self.int8_encoder:
-                from human_dynamics_tpu.models.resnet_int8 import (
-                    apply_int8, apply_int8_static,
-                )
-
-                scales = {
-                    k[len("calib/"):]: v
-                    for k, v in enc_qp.items() if k.startswith("calib/")
-                }
-                qp = {
-                    k: v for k, v in enc_qp.items()
-                    if not k.startswith("calib/")
-                }
-                encode = (
-                    (lambda im: apply_int8_static(
-                        qp, scales, norm(im), int8_root=self.int8_root,
-                        int8_stream=self.int8_stream))
-                    if scales else (lambda im: apply_int8(qp, norm(im)))
-                )
-            else:
-                enc_vars = variables
-                cast = (
-                    (lambda im: im.astype(jnp.bfloat16))
-                    if self.bf16_encoder else (lambda im: im)
-                )
-                if self.bf16_encoder:
-                    enc_vars = tree_bf16(variables)
-                encode = lambda im: self.model.apply(
-                    enc_vars, cast(norm(im))[None], train=False,
-                    method=lambda m, x, train: m.encode_images(x, train),
-                )[0].astype(jnp.float32)
+            encode = self._chunk_encoder(
+                variables, enc_qp, frames.dtype == jnp.uint8
+            )
             if 0 < n_chunks <= self.unroll_chunks:
                 phi = jnp.concatenate(
                     [encode(chunks[i]) for i in range(n_chunks)]
