@@ -109,7 +109,10 @@ class HmmrPredictor:
         self.int8_encoder = int8_encoder
         # int8 root stem (True: s2d stride-folded conv + int8 maxpool;
         # "wfold": width-only fold whose input view is a free reshape,
-        # no transpose pass) and per-block int8 residual stream —
+        # no transpose pass; "u8": byte-direct — raw uint8 frames enter
+        # the wfold conv as (u ^ 0x80) with an exact affine border
+        # correction, removing the full-res normalize AND quantize
+        # passes) and per-block int8 residual stream —
         # static-scale-only variants of the int8 encoder
         # (models/resnet_int8.py docstring has the per-variant v5e
         # measurements).
@@ -462,6 +465,12 @@ class HmmrPredictor:
                 k: v for k, v in enc_qp.items()
                 if not k.startswith("calib/")
             }
+            if self.int8_root == "u8":
+                # Byte-direct root: raw uint8 frames feed the int8
+                # conv as (u ^ 0x80) — the normalize pass disappears
+                # entirely (resnet_int8.py handles both uint8 frames
+                # and already-normalized float crops exactly).
+                norm = lambda im: im
             return (
                 (lambda im: apply_int8_static(
                     qp, scales, norm(im), int8_root=self.int8_root,

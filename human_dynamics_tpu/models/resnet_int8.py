@@ -365,32 +365,85 @@ def apply_int8(
         # channel: max commutes with the positive scale), halving the
         # stem's dominant HBM traffic.
         s_root = _static_scales["root/out"]
-        xq = jnp.clip(
-            jnp.round(images * 127.0), -127, 127
-        ).astype(jnp.int8)
-        if _int8_root == "wfold":
-            # Width-only fold: _wfold is a pure reshape (free), so the
-            # stem has no transpose pass at all — the variant built for
-            # the fused whole-clip program, where the s2d transpose
-            # measured as an extra unfused HBM pass.
+        if _int8_root == "u8":
+            # Byte-direct root: raw uint8 frames enter the conv as
+            # (u ^ 0x80) int8 — NO full-resolution float pass at all
+            # (no normalize, no quantize; the only elementwise work is
+            # a byte->byte bit flip). The crop normalization
+            # x = 2u/255 - 1 (crop.py:52) is affine in u, so with
+            # q = u - 128:  x = (2/255) q + 1/255, and
+            #   conv(x) = s_w * ((2/255) conv_s8(q) + (1/255) ones_conv)
+            # where ones_conv = conv_s8(1-mask) is a constant map that
+            # is the per-channel weight sum in the interior and the
+            # truncated-window sum at SAME-padded borders — so the
+            # affine offset is corrected EXACTLY everywhere, including
+            # padding (padded taps contribute 0 to both terms). This
+            # representation of x is exact (the 255-grid IS the input),
+            # strictly tighter than the 1/127 grid of the other roots.
+            if images.dtype == jnp.uint8:
+                q = jax.lax.bitcast_convert_type(
+                    images ^ jnp.uint8(128), jnp.int8
+                )
+            else:
+                # Already-normalized floats (tests / non-u8 pipelines):
+                # snap back to the exact 255-grid; bit-identical to the
+                # uint8 branch for inputs that came from bytes.
+                q = (jnp.clip(
+                    jnp.round(
+                        images.astype(jnp.float32) * 127.5 + 127.5
+                    ), 0, 255,
+                ) - 128.0).astype(jnp.int8)
             y = jax.lax.conv_general_dilated(
-                _wfold(xq), qp["root/wq_wfold"], (2, 1),
+                _wfold(q), qp["root/wq_wfold"], (2, 1),
                 ((3, 3), (2, 1)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=jnp.int32,
             )
-            w_scale = qp["root/scale_wfold"]
-        else:
-            y = jax.lax.conv_general_dilated(
-                _s2d(xq), qp["root/wq_s2d"], (1, 1), ((2, 1), (2, 1)),
+            # Constant border-correction map (1, H/2, W/2, 64): conv of
+            # an all-ones image. Loop-invariant and input-independent —
+            # XLA hoists/CSEs it; cost is one batch-element of root
+            # conv even if it doesn't (~1/120 of a chunk).
+            ones_conv = jax.lax.conv_general_dilated(
+                _wfold(jnp.ones((1,) + q.shape[1:], jnp.int8)),
+                qp["root/wq_wfold"], (2, 1), ((3, 3), (2, 1)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=jnp.int32,
             )
-            w_scale = qp["root/scale_s2d"]
+            w_scale = qp["root/scale_wfold"]
+            mult = w_scale * (2.0 / 255.0)
+            bias_map = (
+                ones_conv.astype(jnp.float32) * (w_scale / 255.0)
+                + qp["root/b32"]
+            )
+        else:
+            xq = jnp.clip(
+                jnp.round(images * 127.0), -127, 127
+            ).astype(jnp.int8)
+            if _int8_root == "wfold":
+                # Width-only fold: _wfold is a pure reshape (free), so
+                # the stem has no transpose pass at all — the variant
+                # built for the fused whole-clip program, where the s2d
+                # transpose measured as an extra unfused HBM pass.
+                y = jax.lax.conv_general_dilated(
+                    _wfold(xq), qp["root/wq_wfold"], (2, 1),
+                    ((3, 3), (2, 1)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.int32,
+                )
+                w_scale = qp["root/scale_wfold"]
+            else:
+                y = jax.lax.conv_general_dilated(
+                    _s2d(xq), qp["root/wq_s2d"], (1, 1),
+                    ((2, 1), (2, 1)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.int32,
+                )
+                w_scale = qp["root/scale_s2d"]
+            mult = w_scale / 127.0
+            bias_map = qp["root/b32"]
         yq = jnp.clip(jnp.round(
-            y.astype(jnp.float32)
-            * (w_scale / (127.0 * s_root))
-            + qp["root/b32"] / s_root), -127, 127).astype(jnp.int8)
+            y.astype(jnp.float32) * (mult / s_root)
+            + bias_map / s_root), -127, 127).astype(jnp.int8)
         x = jax.lax.reduce_window(
             yq, jnp.int8(-128), jax.lax.max, (1, 3, 3, 1),
             (1, 2, 2, 1), "SAME"

@@ -40,6 +40,10 @@ def build_predictors(names, model, variables, smpl, calib):
                          int8_root=True),
         "root_wfold": dict(int8_encoder=True, int8_calibration=calib,
                            int8_root="wfold"),
+        # Byte-direct root: pair with --uint8 (raw frames feed the
+        # int8 conv as u ^ 0x80; no full-res normalize/quantize pass).
+        "root_u8": dict(int8_encoder=True, int8_calibration=calib,
+                        int8_root="u8"),
         "bf16": dict(bf16_encoder=True),
         "chunk96": dict(int8_encoder=True, int8_calibration=calib,
                         encode_chunk=96),

@@ -195,6 +195,26 @@ def test_predictor_int8_static_end_to_end():
     assert np.isfinite(got_root["omegas"]).all()
     diff = np.abs(got_root["omegas"] - got["omegas"]).max()
     assert diff < 0.5, diff
+    # Byte-direct root: raw uint8 frames and their normalized-float
+    # equivalents run the same exact 255-grid math (only the clip's
+    # zero padding differs between ingestion dtypes).
+    u8 = HmmrPredictor(
+        model, variables, smpl, int8_encoder=True,
+        int8_calibration=images[:8], int8_root="u8", **kw
+    )
+    frames_u8 = np.clip(
+        np.round((images + 1.0) * 127.5), 0, 255
+    ).astype(np.uint8)
+    got_u8 = u8.predict_all_images(frames_u8)
+    got_u8f = u8.predict_all_images(
+        frames_u8.astype(np.float32) * (2.0 / 255.0) - 1.0
+    )
+    assert np.isfinite(got_u8["omegas"]).all()
+    diff = np.abs(got_u8["omegas"] - got["omegas"]).max()
+    assert diff < 0.5, diff
+    np.testing.assert_allclose(
+        got_u8["omegas"], got_u8f["omegas"], atol=1e-4
+    )
 
 
 def test_pallas_fused_units_match_static_xla(trunk):
@@ -415,6 +435,7 @@ def test_int8_root_and_block_stream_accuracy(trunk):
     for kwargs in (
         {"int8_root": True},
         {"int8_root": "wfold"},
+        {"int8_root": "u8"},
         {"int8_root": True, "int8_stream": (1,)},
         {"int8_stream": (1, 2)},
     ):
@@ -426,3 +447,62 @@ def test_int8_root_and_block_stream_accuracy(trunk):
         assert np.all(cos > 0.97), (kwargs, cos)
         rel = np.linalg.norm(got - base) / np.linalg.norm(base)
         assert rel < 0.15, (kwargs, rel)
+
+
+def test_u8_root_affine_correction_exact():
+    """Byte-direct root: with q = u - 128 int8, the identity
+    conv(x) == s_w * ((2/255) conv_s8(q) + (1/255) ones_conv) must hold
+    EXACTLY (up to f32 rounding) for x = 2u/255 - 1, including at
+    SAME-padded borders (padded taps contribute 0 to both terms)."""
+    from human_dynamics_tpu.models.resnet_int8 import (
+        _quant_weight, _wfold, _wfold_root_weights,
+    )
+
+    w = jnp.asarray(RNG.randn(7, 7, 3, 16).astype(np.float32) * 0.1)
+    wq, s_w = _quant_weight(_wfold_root_weights(w))
+    u = RNG.randint(0, 256, (2, 32, 32, 3)).astype(np.uint8)
+    q = jnp.asarray((u.astype(np.int32) - 128).astype(np.int8))
+    x = jnp.asarray(u.astype(np.float32) * (2.0 / 255.0) - 1.0)
+
+    conv = lambda lhs, rhs, **kw: jax.lax.conv_general_dilated(
+        lhs, rhs, (2, 1), ((3, 3), (2, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), **kw
+    )
+    # Ground truth: f32 conv of the exactly-normalized image against
+    # the DEQUANTIZED weights (isolates the affine trick from weight
+    # quantization error).
+    want = conv(_wfold(x), wq.astype(jnp.float32) * s_w)
+    y = conv(_wfold(q), wq, preferred_element_type=jnp.int32)
+    ones_conv = conv(
+        _wfold(jnp.ones(q.shape, jnp.int8)), wq,
+        preferred_element_type=jnp.int32,
+    )
+    got = s_w * (
+        y.astype(jnp.float32) * (2.0 / 255.0)
+        + ones_conv.astype(jnp.float32) * (1.0 / 255.0)
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-4
+    )
+
+
+def test_u8_root_uint8_and_float_bit_identical(trunk):
+    """The u8 root's two input branches (raw uint8 frames vs the same
+    frames normalized to floats) must produce bit-identical phi."""
+    from human_dynamics_tpu.models.resnet_int8 import (
+        apply_int8_static, calibrate_int8_scales,
+    )
+
+    model, variables, _ = trunk
+    u = RNG.randint(0, 256, (2, 64, 64, 3)).astype(np.uint8)
+    x = jnp.asarray(u.astype(np.float32) * (2.0 / 255.0) - 1.0)
+    qp = prepare_int8_params(variables)
+    scales = calibrate_int8_scales(qp, x)
+    from_u8 = np.asarray(
+        apply_int8_static(qp, scales, jnp.asarray(u), int8_root="u8")
+    )
+    from_f32 = np.asarray(
+        apply_int8_static(qp, scales, x, int8_root="u8")
+    )
+    assert np.isfinite(from_u8).all()
+    np.testing.assert_array_equal(from_u8, from_f32)

@@ -108,7 +108,8 @@ def test_streaming_empty_stream():
 
 def test_streaming_image_mode_uint8_int8_encoder():
     """Image mode with the serving config (uint8 ingest + static int8
-    encoder): emissions match the offline fused program."""
+    encoder + byte-direct u8 root): emissions match the offline fused
+    program."""
     model = HmmrModel(include_resnet=True)
     smpl = synthetic_smpl_model(num_verts=48, num_kps=25)
     variables = model.init(
@@ -118,7 +119,7 @@ def test_streaming_image_mode_uint8_int8_encoder():
     pred = HmmrPredictor(
         model, variables, smpl, batch_size=1, seq_length=20,
         encode_chunk=8, int8_encoder=True,
-        int8_calibration=frames[:8],
+        int8_calibration=frames[:8], int8_root="u8",
     )
     want = pred.predict_all_images(frames)
     sp = StreamingPredictor(pred, as_numpy=True)
