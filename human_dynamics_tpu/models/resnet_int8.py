@@ -66,9 +66,21 @@ MEASURED RESULTS on v5e at batch 160, 224x224 (bf16 trunk: 10.63 ms):
   extra full-resolution input quantize pass (f32 read -> int8 write)
   that the bf16 root avoids by feeding images straight into the conv.
   Both roots stay tested opt-ins; bench.py stays on base static.
-Use ``HmmrPredictor(int8_encoder=True, int8_calibration=frames,
-int8_root=True)`` for the fastest path; dynamic (no calibration) stays
-for weight-memory-bound serving and warns that it is slower.
+- STATIC + BYTE-DIRECT ROOT (``int8_root="u8"``): raw uint8 frames
+  enter the wfold conv as (u ^ 0x80) int8 with an exact affine border
+  correction folded into the epilogue bias — NO full-resolution
+  normalize or quantize pass, and the 255-grid representation is
+  exact (bit-identical between uint8 and normalized-float ingestion,
+  verified on the real chip). e2e 20-rep interleaved A/B vs base
+  static: 32.54 vs 32.67 ms/clip — statistical tie; the input-pass
+  cost that made wfold -2.5% is gone, what remains is the wfold conv
+  geometry at B=120. The probe_mxu ``wfold_block1`` follow-up showed
+  block1 is HBM-bound (its 1x1 256<->64 pair runs ~380 GB/s), closing
+  the encoder-geometry search.
+Use ``HmmrPredictor(int8_encoder=True, int8_calibration=frames)`` for
+the fastest measured path (add ``int8_root="u8"`` to feed raw uint8
+frames at equal speed); dynamic (no calibration) stays for
+weight-memory-bound serving and warns that it is slower.
 
 Scheme (standard symmetric PTQ, chosen for exactness of intent and
 zero calibration data):

@@ -756,6 +756,75 @@ def probe_conv_bwd():
         )
 
 
+def probe_wfold_block1():
+    """Does width-folding block1 fix its 47 T/s? MEASURED: no — block1
+    is HBM-bound, not lane-bound.
+
+    Hypothesis was: block1's C=64 convs half-fill the 128-lane MXU on
+    the OUTPUT side (the int8-stream negative ruled out stream HBM), so
+    merging width pairs into channels — (56,56,64) -> (56,28,128), the
+    same free NHWC reshape as the wfold root — doubles lane fill at
+    the cost of 2x nominal FLOPs (the folded kernels are 50%
+    structural zeros: each output phase reads only its own 9 taps).
+
+    v5e results (B=160, int8, paired cin->cout->cin chains, useful
+    FLOPs): conv2 3x3 64ch 169 -> 187 T/s folded (+10%); conv1-pair
+    1x1 256<->64 39 -> 43 T/s (+8%); conv3-pair 1x1 64<->256 117 ->
+    143 T/s (+23%). Every fold helps a little, but the block's
+    dominant cost — the 1x1 pair touching the 256-channel stream at
+    56x56 (128 MB/read at B=160) — runs at ~320 MB / 0.84 ms ≈ 380
+    GB/s: it is BANDWIDTH-bound, and folding moves zero bytes. Ceiling
+    analysis: folding all of block1 would save ~0.35 ms of the 10 ms
+    trunk (~1% e2e before the usual whole-program scheduling erosion)
+    — not worth the weight-layout complexity. Together with the
+    int8-root/stream family this closes the encoder-geometry search:
+    root fixed (wfold/u8), block1 at its HBM roofline, blocks 2-4 at
+    139-274 T/s.
+    """
+    B = 160
+    cases = [
+        # (name, h, w, cin, cout, k)          folded doubles cin/cout
+        ("conv2 3x3  64->64 ", 56, 56, 64, 64, 3),
+        ("conv1 1x1 256->64 ", 56, 56, 256, 64, 1),
+        ("conv3 1x1  64->256", 56, 56, 64, 256, 1),
+    ]
+    for name, h, w, cin, cout, k in cases:
+        # cin != cout: chain a cout->cin conv back so the scan carry
+        # keeps its shape; FLOPs count both directions.
+        useful = 2 * 2 * B * h * w * cin * cout * k * k
+        for fold in (1, 2):
+            wf, cif, cof = w // fold, cin * fold, cout * fold
+            wk = jnp.asarray(
+                rng.randint(-127, 127, (k, k, cif, cof), "int8"))
+            wk2 = jnp.asarray(
+                rng.randint(-127, 127, (k, k, cof, cif), "int8"))
+
+            def make_body(wk=wk, wk2=wk2):
+                def conv(x, kern):
+                    return jax.lax.conv_general_dilated(
+                        x, kern, (1, 1), "SAME",
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                        preferred_element_type=jnp.int32)
+
+                def body(x, _):
+                    y = jnp.clip(conv(x, wk) >> 10, -127, 127).astype(
+                        jnp.int8)
+                    z = jnp.clip(conv(y, wk2) >> 10, -127, 127).astype(
+                        jnp.int8)
+                    return z, ()
+                return body
+
+            c0s = [jnp.asarray(
+                rng.randint(-127, 127, (B, h, wf, cif), "int8"))
+                for _ in range(4)]
+            per = _per_iter(make_body, c0s, short=16, long=80)
+            tag = "folded  " if fold == 2 else "unfolded"
+            print(f"block1 {name} {tag}: {per*1e3:6.3f} ms  "
+                  f"{useful/per/1e12:6.1f} T/s useful"
+                  + (f"  ({2*useful/per/1e12:.1f} T/s raw)"
+                     if fold == 2 else ""), flush=True)
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "matmul"
     {
@@ -782,4 +851,5 @@ if __name__ == "__main__":
         "block_stream": lambda: probe_block_stream(
             int(os.environ.get("STREAM_BLOCK", "1"))),
         "conv_bwd": probe_conv_bwd,
+        "wfold_block1": probe_wfold_block1,
     }[which]()
