@@ -198,6 +198,23 @@ class HmmrPredictor:
         # groups_per_step*B*g frames x heads at once).
         self.groups_per_step = groups_per_step
         self.delta_ts = tuple(sorted(model.delta_t_values))
+        # Precast bf16 weights ONCE when no consumer of the variables
+        # tree needs fp32: with bf16_temporal, the in-jit tree_bf16
+        # otherwise re-reads every fp32 weight and writes its bf16 copy
+        # on EVERY clip dispatch (~0.5 ms of pure HBM traffic for the
+        # temporal/IEF stack; tail probe in scripts/probe_mxu.py).
+        # tree_bf16 is identity on bf16 leaves, so the traced tail math
+        # is unchanged bit-for-bit vs the per-call cast. Legal whenever
+        # the encoder inside the fused program doesn't read fp32
+        # weights: int8 encoder (reads only the quantized qp tree),
+        # bf16 encoder (casts the same way), or phi-only models. The
+        # fp32 default path keeps the fp32 tree (bit-parity).
+        self._fused_vars = variables
+        if bf16_temporal and variables is not None and (
+            int8_encoder or bf16_encoder
+            or not getattr(model, "include_resnet", False)
+        ):
+            self._fused_vars = tree_bf16(variables)
 
     # ------------------------------------------------------------------
     # Feature extraction (image mode)
@@ -426,7 +443,7 @@ class HmmrPredictor:
             in_specs=(P(), P(), P(axis)),
             out_specs=P(axis),
         )
-        out = run(self.variables, phi_padded, jnp.arange(count))
+        out = run(self._fused_vars, phi_padded, jnp.arange(count))
 
         def stitch(v):
             flat = v.reshape((-1,) + v.shape[3:])[:n]
@@ -603,7 +620,7 @@ class HmmrPredictor:
         )
         count = _bucket(sched.count)
         out = self._predict_fused(
-            self.variables, self._int8_qp, inputs, n, count, image_mode
+            self._fused_vars, self._int8_qp, inputs, n, count, image_mode
         )
         if as_numpy:
             out = jax.device_get(out)

@@ -108,7 +108,7 @@ class StreamingPredictor:
         )
         padded[:n] = frames_np
         phi = self._encode(
-            self._p.variables, self._p._int8_qp, bool(self._uint8),
+            self._p._fused_vars, self._p._int8_qp, bool(self._uint8),
             jnp.asarray(padded),
         )
         return phi[:n]
@@ -140,7 +140,7 @@ class StreamingPredictor:
         else:
             front = self._tail
         buf = jnp.concatenate([front, phi_new], axis=0)
-        out = self._step(self._p.variables, buf)
+        out = self._step(self._p._fused_vars, buf)
         self._tail = buf[-2 * self.margin:]
         if self.as_numpy:
             out = jax.device_get(out)

@@ -825,6 +825,216 @@ def probe_wfold_block1():
                      if fold == 2 else ""), flush=True)
 
 
+def probe_tail():
+    """Attribute the predictor's non-encoder tail (phi -> outputs).
+
+    The bench e2e clip (480 frames, int8-static encoder) spends
+    ~26 ms in the trunk and ~7 ms in the window tail. Components,
+    bench config (bf16_temporal + Pallas fused SMPL, count bucketed
+    to 8 groups = 64 windows of T=20, g=8 kept frames):
+
+      tail_full     — _predict_window_groups exactly as the fused
+                      program runs it (in-jit tree_bf16 recast of the
+                      temporal/IEF weights every call)
+      tail_precast  — same, but the variables passed in are ALREADY
+                      bf16, so the in-body recast is an elided no-op:
+                      isolates the per-call weight-recast HBM cost
+      model_only    — HmmrModel.apply on the gathered (64, 20, 2048)
+                      bf16 windows (temporal conv + IEF heads)
+      smpl_only     — fused-Pallas compute_smpl on the stacked
+                      (3 heads, 512, 8, 85) omegas
+    """
+    from human_dynamics_tpu.core import synthetic_smpl_model
+    from human_dynamics_tpu.infer import HmmrPredictor
+    from human_dynamics_tpu.infer.window import WindowSchedule
+    from human_dynamics_tpu.models import HmmrModel
+    from human_dynamics_tpu.models.omega import compute_smpl, split_omega
+    from human_dynamics_tpu.utils.precision import tree_bf16
+
+    n, b, t = 480, 8, 20
+    model = HmmrModel(include_resnet=False)
+    smpl = synthetic_smpl_model(num_verts=6890, num_kps=25)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, t, 2048))
+    )
+    pred = HmmrPredictor(
+        model, variables, smpl, batch_size=b, seq_length=t,
+        use_fused_smpl=True, bf16_temporal=True,
+    )
+    sched = WindowSchedule(
+        num_frames=n, batch_size=b, seq_length=t, fov=model.fov
+    )
+    count = 8   # _bucket(sched.count) for 480 frames
+    extra = (count - sched.count) * b * sched.good_frames
+    plen = sched.margin + n + sched.num_fill + extra
+    ids = jnp.arange(count)
+    eps = jnp.float32(1e-24)
+
+    def scan_time(make_body, c0s, short=8, long=40):
+        """In-jit chained scan with the variables as a traced arg."""
+        def run(vs, c0, length):
+            f = jax.jit(
+                lambda v, c: jax.lax.scan(
+                    make_body(v), c, None, length=length)[0],
+                static_argnums=(),
+            )
+            jax.block_until_ready(f(vs, c0s[0]))
+            best = float("inf")
+            for c in c0s[1:]:
+                t0 = time.perf_counter()
+                jax.block_until_ready(f(vs, c))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        return lambda vs: (
+            (run(vs, c0s[0], long) - run(vs, c0s[0], short))
+            / (long - short)
+        )
+
+    phi0s = [
+        jnp.asarray(rng.randn(plen, 2048), jnp.float32) * 0.1
+        for _ in range(4)
+    ]
+
+    def make_full(vs):
+        def body(c, _):
+            out = pred._predict_window_groups(vs, c, ids)
+            s = sum(jnp.sum(v) for v in out.values())
+            return c + eps * s, ()
+        return body
+
+    for name, vs in (
+        ("tail_full   ", variables),
+        ("tail_precast", tree_bf16(variables)),
+    ):
+        per = scan_time(make_full, phi0s)(vs)
+        print(f"{name}: {per*1e3:7.3f} ms/clip-tail", flush=True)
+
+    # Model-only: temporal conv encoder + IEF heads on the windows.
+    win0s = [
+        jnp.asarray(rng.randn(count * b, t, 2048), jnp.bfloat16) * 0.1
+        for _ in range(4)
+    ]
+    bvars = tree_bf16(variables)
+
+    def make_model(vs):
+        def body(c, _):
+            out = model.apply(vs, c, train=False)
+            s = (jnp.sum(out.omega_pred)
+                 + sum(jnp.sum(v) for v in out.omegas_delta.values()))
+            return c + s.astype(c.dtype) * jnp.bfloat16(1e-8), ()
+        return body
+
+    per = scan_time(make_model, win0s)(bvars)
+    print(f"model_only  : {per*1e3:7.3f} ms", flush=True)
+
+    # SMPL-only: stacked decode of all heads' kept frames.
+    g = sched.good_frames
+    om0s = [
+        jnp.asarray(rng.randn(3, count * b, g, 85), jnp.float32) * 0.1
+        for _ in range(4)
+    ]
+
+    def make_smpl(vs):
+        del vs
+
+        def body(c, _):
+            cams = jnp.broadcast_to(
+                split_omega(c[0])[0][None], c.shape[:-1] + (3,)
+            )
+            sm = compute_smpl(
+                smpl, c, use_optcam=False, cams_override=cams,
+                fused=True,
+            )
+            s = jnp.sum(sm.verts) + jnp.sum(sm.kps) + jnp.sum(sm.joints)
+            return c + eps * s, ()
+        return body
+
+    per = scan_time(make_smpl, om0s)(jnp.zeros(()))
+    print(f"smpl_only   : {per*1e3:7.3f} ms", flush=True)
+
+
+def probe_e2e(uint8: bool = False):
+    """Device-limited e2e clip time: the WHOLE fused predict program
+    (bench config: int8-static encoder + bf16 tail + fused SMPL)
+    chained inside one lax.scan, two lengths differenced.
+
+    This removes everything the tunnel adds per dispatch (handle
+    marshalling, host round trips) and is therefore the number a local
+    PCIe/ICI deployment would see. The fp32 carry update
+    (frames + eps*s) adds ~0.6 ms/iter of HBM copy the real program
+    doesn't have — the result is slightly pessimistic.
+    """
+    from human_dynamics_tpu.core import synthetic_smpl_model
+    from human_dynamics_tpu.infer import HmmrPredictor
+    from human_dynamics_tpu.infer.predictor import _bucket
+    from human_dynamics_tpu.infer.window import WindowSchedule
+    from human_dynamics_tpu.models import HmmrModel
+
+    n = 480
+    model = HmmrModel(include_resnet=True)
+    smpl = synthetic_smpl_model(num_verts=6890, num_kps=25)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 1, 224, 224, 3))
+    )
+    calib = jnp.asarray(
+        rng.uniform(-1, 1, (32, 224, 224, 3)), jnp.float32
+    )
+    pred = HmmrPredictor(
+        model, variables, smpl, batch_size=8, seq_length=20,
+        use_fused_smpl=True, bf16_temporal=True,
+        int8_encoder=True, int8_calibration=calib,
+    )
+    sched = WindowSchedule(
+        num_frames=n, batch_size=8, seq_length=20, fov=model.fov
+    )
+    count = _bucket(sched.count)
+    chunk = pred.encode_chunk
+    n_pad = _bucket(int(np.ceil(n / chunk))) * chunk
+    raw = type(pred)._predict_fused.__wrapped__
+    eps = jnp.float32(1e-24)
+
+    def make_body(arrs):
+        vs, qp = arrs
+
+        def body(c, _):
+            out = raw(pred, vs, qp, c, n, count, True)
+            s = sum(jnp.sum(v) for v in out.values())
+            if c.dtype == jnp.uint8:
+                return c ^ (s * 1e6).astype(jnp.int32).astype(
+                    jnp.uint8), ()
+            return c + eps * s, ()
+        return body
+
+    dt = jnp.uint8 if uint8 else jnp.float32
+    c0s = [
+        (jnp.asarray(
+            rng.randint(0, 255, (n_pad, 224, 224, 3)), jnp.uint8)
+         if uint8 else
+         jnp.asarray(
+             rng.uniform(-1, 1, (n_pad, 224, 224, 3)), jnp.float32))
+        for _ in range(3)
+    ]
+
+    def run(length):
+        f = jax.jit(
+            lambda a, c: jax.lax.scan(
+                make_body(a), c, None, length=length)[0]
+        )
+        arrs = (pred._fused_vars, pred._int8_qp)
+        jax.block_until_ready(f(arrs, c0s[0]))
+        best = float("inf")
+        for c in c0s[1:]:
+            t0 = time.perf_counter()
+            jax.block_until_ready(f(arrs, c))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    per = (run(16) - run(4)) / 12
+    print(f"e2e chained ({dt.__name__}): {per*1e3:7.3f} ms/clip = "
+          f"{n/per:,.0f} frames/s device-limited", flush=True)
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "matmul"
     {
@@ -852,4 +1062,7 @@ if __name__ == "__main__":
             int(os.environ.get("STREAM_BLOCK", "1"))),
         "conv_bwd": probe_conv_bwd,
         "wfold_block1": probe_wfold_block1,
+        "tail": probe_tail,
+        "e2e": probe_e2e,
+        "e2e_u8": lambda: probe_e2e(uint8=True),
     }[which]()
