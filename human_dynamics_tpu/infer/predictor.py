@@ -214,7 +214,20 @@ class HmmrPredictor:
             int8_encoder or bf16_encoder
             or not getattr(model, "include_resnet", False)
         ):
-            self._fused_vars = tree_bf16(variables)
+            src = variables
+            if int8_encoder:
+                # The fused program's encoder reads only the int8 qp
+                # tree; dropping the resnet subtree from the bf16 copy
+                # avoids ~50 MB of never-bound device residency (the
+                # window tail binds only the temporal/IEF stack).
+                src = {
+                    col: {
+                        k: v for k, v in tree.items()
+                        if k != "resnet_v2_50"
+                    } if isinstance(tree, dict) else tree
+                    for col, tree in variables.items()
+                }
+            self._fused_vars = tree_bf16(src)
 
     # ------------------------------------------------------------------
     # Feature extraction (image mode)

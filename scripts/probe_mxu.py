@@ -871,8 +871,12 @@ def probe_tail():
     eps = jnp.float32(1e-24)
 
     def scan_time(make_body, c0s, short=8, long=40):
-        """In-jit chained scan with the variables as a traced arg."""
-        def run(vs, c0, length):
+        """In-jit chained scan with the variables as a traced arg.
+
+        Warms on c0s[0], times c0s[1:] (distinct carries defeat the
+        runtime's repeated-dispatch result cache).
+        """
+        def run(vs, length):
             f = jax.jit(
                 lambda v, c: jax.lax.scan(
                     make_body(v), c, None, length=length)[0],
@@ -887,8 +891,7 @@ def probe_tail():
             return best
 
         return lambda vs: (
-            (run(vs, c0s[0], long) - run(vs, c0s[0], short))
-            / (long - short)
+            (run(vs, long) - run(vs, short)) / (long - short)
         )
 
     phi0s = [

@@ -506,3 +506,44 @@ def test_u8_root_uint8_and_float_bit_identical(trunk):
     )
     assert np.isfinite(from_u8).all()
     np.testing.assert_array_equal(from_u8, from_f32)
+
+
+def test_precast_bf16_temporal_matches_per_call_cast():
+    """The serving/bench config (int8_encoder + bf16_temporal) precasts
+    the weight tree ONCE at construction (predictor.py precast branch)
+    and, with int8, prunes the never-bound resnet subtree from the bf16
+    copy. Both are pure residency/traffic optimizations: the in-jit
+    tree_bf16 is identity on bf16 leaves, so outputs must be
+    bit-identical to the same predictor forced back onto the fp32 tree
+    (per-call in-jit cast)."""
+    from human_dynamics_tpu.core import synthetic_smpl_model
+    from human_dynamics_tpu.infer import HmmrPredictor
+    from human_dynamics_tpu.models import HmmrModel
+
+    model = HmmrModel(include_resnet=True)
+    smpl = synthetic_smpl_model(num_verts=48, num_kps=25)
+    images = np.asarray(
+        RNG.rand(25, 64, 64, 3).astype(np.float32) * 2 - 1
+    )
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 1, 64, 64, 3))
+    )
+    kw = dict(
+        batch_size=2, seq_length=20, encode_chunk=16,
+        int8_encoder=True, int8_calibration=images[:8],
+        bf16_temporal=True,
+    )
+    fast = HmmrPredictor(model, variables, smpl, **kw)
+    # Precast happened and the dead resnet subtree was dropped.
+    assert "resnet_v2_50" not in fast._fused_vars["params"]
+    leaf = jax.tree_util.tree_leaves(fast._fused_vars)[0]
+    assert leaf.dtype == jnp.bfloat16
+
+    slow = HmmrPredictor(model, variables, smpl, **kw)
+    slow._fused_vars = variables  # force the per-call-cast fp32 path
+
+    got = fast.predict_all_images(images)
+    want = slow.predict_all_images(images)
+    assert set(got) == set(want)
+    for k in got:
+        np.testing.assert_array_equal(got[k], want[k], err_msg=k)
