@@ -85,7 +85,18 @@ class PredictionService:
         ``frames``/``phi`` follow ``HmmrPredictor.predict_all_images``.
         Raises RuntimeError after ``close()``.
         """
-        fut: "Future[Dict[str, Any]]" = Future()
+        n = int(len(frames) if frames is not None else len(phi))
+        return self._submit_thunk(
+            lambda: self.predictor.predict_all_images(
+                frames, phi=phi, as_numpy=self.as_numpy
+            ),
+            num_frames=n,
+        )
+
+    def _submit_thunk(self, thunk, num_frames: int = 0) -> "Future":
+        """Enqueue arbitrary work on the dispatcher thread (the single
+        owner of all jit calls); used by submit() and StreamingSession."""
+        fut: "Future" = Future()
         with self._close_lock:
             if self._closed:
                 raise RuntimeError("PredictionService is closed")
@@ -93,8 +104,36 @@ class PredictionService:
             # make a concurrent stats() read completed > submitted.
             with self._lock:
                 self._stats["submitted"] += 1
-            self._queue.put((fut, frames, phi))
+            self._queue.put((fut, thunk, num_frames))
         return fut
+
+    def open_stream(
+        self, predictor=None, as_numpy: Optional[bool] = None
+    ) -> "StreamingSession":
+        """Open an online (live-video) stream served through this
+        service's dispatcher thread.
+
+        The session wraps ``StreamingPredictor`` (infer/streaming.py):
+        emissions are offline-identical, with ``quantum`` frames per
+        emission and ``latency_frames`` of input lookahead. Multiple
+        concurrent streams (and offline ``submit`` clips) interleave
+        safely — the dispatcher serializes all device work, and each
+        session's emissions resolve in feed order.
+
+        Args:
+            predictor: optionally a differently-configured
+                ``HmmrPredictor`` (e.g. batch_size=1 for lowest
+                latency); defaults to the service's offline predictor.
+            as_numpy: fetch emissions to host (default: the service's
+                setting).
+        """
+        from human_dynamics_tpu.infer.streaming import StreamingPredictor
+
+        sp = StreamingPredictor(
+            predictor if predictor is not None else self.predictor,
+            as_numpy=self.as_numpy if as_numpy is None else as_numpy,
+        )
+        return StreamingSession(self, sp)
 
     def stats(self) -> Dict[str, int]:
         with self._lock:
@@ -132,13 +171,11 @@ class PredictionService:
             item = self._queue.get()
             if item is None:
                 return
-            fut, frames, phi = item
+            fut, thunk, num_frames = item
             if not fut.set_running_or_notify_cancel():
                 continue
             try:
-                out = self.predictor.predict_all_images(
-                    frames, phi=phi, as_numpy=self.as_numpy
-                )
+                out = thunk()
             except Exception as e:  # resolve only this request
                 fut.set_exception(e)
                 with self._lock:
@@ -147,6 +184,53 @@ class PredictionService:
             fut.set_result(out)
             with self._lock:
                 self._stats["completed"] += 1
-                self._stats["frames"] += int(
-                    len(frames) if frames is not None else len(phi)
-                )
+                self._stats["frames"] += num_frames
+
+
+class StreamingSession:
+    """A live stream multiplexed onto a ``PredictionService``.
+
+    All methods return Futures resolved by the service's dispatcher
+    thread in feed order:
+
+        session = service.open_stream()
+        for frames in camera:
+            for out in session.feed(frames).result():
+                consume(out)           # list of emission dicts
+        for out in session.flush().result():
+            consume(out)
+
+    ``feed``/``flush``/``reset`` order is preserved per session (one
+    FIFO queue); feeding after ``flush`` requires ``reset`` first
+    (StreamingPredictor's contract).
+    """
+
+    def __init__(self, service: "PredictionService", sp):
+        self._service = service
+        self._sp = sp
+
+    @property
+    def quantum(self) -> int:
+        """Frames per emission (batch_size * g)."""
+        return self._sp.quantum
+
+    @property
+    def latency_frames(self) -> int:
+        """Input lookahead before a frame's output can emit."""
+        return self._sp.latency_frames
+
+    def feed(self, frames) -> "Future":
+        """Future of the (possibly empty) list of emission dicts the
+        frames complete."""
+        frames = np.asarray(frames)
+        return self._service._submit_thunk(
+            lambda: self._sp.feed(frames), num_frames=len(frames)
+        )
+
+    def flush(self) -> "Future":
+        """Future of the final emissions (zero-phi back fill)."""
+        return self._service._submit_thunk(self._sp.flush)
+
+    def reset(self) -> "Future":
+        """Start a new clip (runs on the dispatcher, after queued work)."""
+        return self._service._submit_thunk(self._sp.reset)

@@ -109,3 +109,65 @@ def test_service_close_without_drain_fails_pending():
             assert out["omegas"].shape == (21, 85)
         except RuntimeError as e:
             assert "closed" in str(e)
+
+
+def test_streaming_session_matches_offline():
+    """A stream served through the service (open_stream) emits
+    offline-identical outputs, interleaved with offline submits on the
+    same dispatcher."""
+    service, pred = make_service(as_numpy=True)
+    phi = RNG.randn(41, 160).astype(np.float32) * 0.5
+    other = RNG.randn(23, 160).astype(np.float32) * 0.5
+    with service:
+        session = service.open_stream()
+        assert session.quantum == pred.batch_size * (
+            pred.seq_length - (pred.model.fov - 1)
+        )
+        futs = [session.feed(chunk) for chunk in np.array_split(phi, 7)]
+        # Offline request rides the same dispatcher mid-stream.
+        offline_fut = service.submit(other)
+        futs.append(session.flush())
+        emissions = [e for f in futs for e in f.result(timeout=300)]
+        offline = offline_fut.result(timeout=300)
+        stats = service.stats()
+
+    got = {
+        k: np.concatenate([e[k] for e in emissions])
+        for k in emissions[0]
+    }
+    want = pred.predict_all_images(phi)
+    assert set(got) == set(want)
+    for k in sorted(want):
+        np.testing.assert_allclose(
+            got[k], want[k], atol=1e-5, err_msg=k
+        )
+    np.testing.assert_allclose(
+        offline["omegas"], pred.predict_all_images(other)["omegas"],
+        atol=1e-5,
+    )
+    assert stats["failed"] == 0
+    assert stats["frames"] == len(phi) + len(other)
+
+    # Feeding a finished stream fails that future only; reset reopens.
+    with pytest.raises(RuntimeError):
+        # service closed above - build a fresh one for lifecycle check
+        session.feed(phi[:4])
+
+
+def test_streaming_session_reset_reopens():
+    service, _ = make_service(as_numpy=True)
+    phi = RNG.randn(18, 160).astype(np.float32) * 0.5
+    with service:
+        session = service.open_stream()
+        session.feed(phi)
+        session.flush().result(timeout=300)
+        fut = session.feed(phi[:4])   # finished stream -> request fails
+        with pytest.raises(RuntimeError):
+            fut.result(timeout=300)
+        session.reset().result(timeout=300)
+        out = [
+            e for f in (session.feed(phi), session.flush())
+            for e in f.result(timeout=300)
+        ]
+        assert sum(len(e["omegas"]) for e in out) == len(phi)
+    assert service.stats()["failed"] == 1
