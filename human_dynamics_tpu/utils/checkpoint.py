@@ -128,15 +128,23 @@ def load_checkpoint(path: str, target=None):
 
 def load_variables(path: str):
     """Model-variables loader used by the demo/eval CLIs: accepts an
-    orbax dir, npz, pkl, or a TF checkpoint prefix."""
+    orbax dir, npz, pkl, or a TF checkpoint prefix. A Trainer model_dir
+    (TrainState checkpoints with params_e/params_d) is accepted too —
+    the HmmrModel variables (params_e) are extracted, so eval/demo run
+    directly on a training run's directory like the reference's
+    --load_path (eval.py:499-506)."""
     if os.path.isdir(path):
         latest = latest_checkpoint(path)
-        return load_checkpoint(latest if latest else path)
-    if path.endswith((".npz", ".pkl")):
-        return load_checkpoint(path)
-    if os.path.exists(path + ".index"):
+        tree = load_checkpoint(latest if latest else path)
+    elif path.endswith((".npz", ".pkl")):
+        tree = load_checkpoint(path)
+    elif os.path.exists(path + ".index"):
         return convert_tf_checkpoint(path)
-    return load_checkpoint(path)
+    else:
+        tree = load_checkpoint(path)
+    if isinstance(tree, dict) and "params_e" in tree:
+        return tree["params_e"]
+    return tree
 
 
 # ---------------------------------------------------------------------------

@@ -58,7 +58,8 @@ def make_phi_fn(rng, feature_dim):
 
 
 def generate_data(out_dir, num_tubes=64, frames_per_tube=120,
-                  feature_dim=2048, num_verts=512, seed=0):
+                  feature_dim=2048, num_verts=512, seed=0,
+                  num_test_tubes=0, test_dataset="3dpw"):
     import jax.numpy as jnp
 
     from human_dynamics_tpu.core import synthetic_smpl_model
@@ -105,6 +106,33 @@ def generate_data(out_dir, num_tubes=64, frames_per_tube=120,
     mocap_dir = os.path.join(data_dir, "mocap_neutrMosh")
     os.makedirs(mocap_dir, exist_ok=True)
 
+    def synth_tube(n):
+        """One tube of known-Omega gt: pose/shape/cams random walks ->
+        SMPL joints -> projected kps -> phi via the fixed MLP."""
+        pose = bounded_walk(rng, n, 72, step=0.03, bound=0.6)
+        pose[:, 0] += np.pi  # upright global rotation, like real data
+        shape = (rng.randn(10) * 0.3).astype(np.float32)
+        cams = np.stack([
+            0.9 + 0.05 * bounded_walk(rng, n, 1, 0.01, 0.1)[:, 0],
+            0.05 * bounded_walk(rng, n, 1, 0.01, 0.1)[:, 0],
+            0.05 * bounded_walk(rng, n, 1, 0.01, 0.1)[:, 0],
+        ], axis=1).astype(np.float32)
+        out = smpl_forward(
+            smpl,
+            jnp.asarray(np.tile(shape, (n, 1)), jnp.float32),
+            jnp.asarray(pose, jnp.float32),
+        )
+        joints25 = np.asarray(out.joints)              # (n, 25, 3)
+        gt3ds = joints25[:, :14]                       # LSP-14
+        kps25 = np.asarray(
+            orth_proj_idrot(jnp.asarray(joints25), jnp.asarray(cams))
+        )                                              # (n, 25, 2), [-1,1]
+        omega = np.concatenate([cams, pose, np.tile(shape, (n, 1))],
+                               axis=1).astype(np.float32)
+        phis = phi_fn(omega) + rng.randn(n, feature_dim).astype(
+            np.float32) * 0.01
+        return pose, shape, cams, gt3ds, kps25, phis
+
     tubes_per_shard = 8
     all_poses = []
     writers = {}
@@ -117,34 +145,11 @@ def generate_data(out_dir, num_tubes=64, frames_per_tube=120,
             ))
         writer = writers[(with_3d, si)]
         n = frames_per_tube
-        pose = bounded_walk(rng, n, 72, step=0.03, bound=0.6)
-        pose[:, 0] += np.pi  # upright global rotation, like real data
-        shape = (rng.randn(10) * 0.3).astype(np.float32)
-        cams = np.stack([
-            0.9 + 0.05 * bounded_walk(rng, n, 1, 0.01, 0.1)[:, 0],
-            0.05 * bounded_walk(rng, n, 1, 0.01, 0.1)[:, 0],
-            0.05 * bounded_walk(rng, n, 1, 0.01, 0.1)[:, 0],
-        ], axis=1).astype(np.float32)
+        pose, shape, cams, gt3ds, kps25, phis = synth_tube(n)
         all_poses.append(pose)
-
-        out = smpl_forward(
-            smpl,
-            jnp.asarray(np.tile(shape, (n, 1)), jnp.float32),
-            jnp.asarray(pose, jnp.float32),
-        )
-        joints25 = np.asarray(out.joints)              # (n, 25, 3)
-        gt3ds = joints25[:, :14]                       # LSP-14
-        kps25 = np.asarray(
-            orth_proj_idrot(jnp.asarray(joints25), jnp.asarray(cams))
-        )                                              # (n, 25, 2), [-1,1]
         labels = np.zeros((n, 3, 25), np.float32)
         labels[:, :2] = np.transpose(kps25, (0, 2, 1))
         labels[:, 2] = 1.0
-
-        omega = np.concatenate([cams, pose, np.tile(shape, (n, 1))],
-                               axis=1).astype(np.float32)
-        phis = phi_fn(omega) + rng.randn(n, feature_dim).astype(
-            np.float32) * 0.01
 
         writer.write(convert_to_example_temporal(
             image_datas=None,
@@ -174,6 +179,42 @@ def generate_data(out_dir, num_tubes=64, frames_per_tube=120,
                 "pose": pose.astype(np.float32),
                 "shape": (rng.randn(10) * 0.3).astype(np.float32),
             }))
+
+    # Held-out TEST records for the synthetic accuracy gauntlet
+    # (scripts/synthetic_gauntlet.py): same generator, fresh
+    # trajectories, full 3D gt. Labels are PIXEL coords at the 224 crop
+    # — the reference's test records store crop-space px
+    # (make_test_tfrecords.py:84-161) and the eval harness converts
+    # normalized predictions the same way (eval.py:211).
+    if num_test_tubes:
+        test_dir = os.path.join(data_dir, test_dataset, "test")
+        os.makedirs(test_dir, exist_ok=True)
+        for ti in range(num_test_tubes):
+            n = frames_per_tube
+            pose, shape, cams, gt3ds, kps25, phis = synth_tube(n)
+            kp_px = (kps25 + 1.0) * 0.5 * 224.0
+            labels = np.zeros((n, 3, 25), np.float32)
+            labels[:, :2] = np.transpose(kp_px, (0, 2, 1))
+            labels[:, 2] = 1.0
+            serialized = convert_to_example_temporal(
+                image_datas=None,
+                image_paths=[f"t{ti}_f{i}.png" for i in range(n)],
+                image_shapes=np.full((n, 2), 224),
+                labels=labels,
+                centers=np.full((n, 2), 112, np.int64),
+                gt3ds=gt3ds.astype(np.float32),
+                scale_factors=np.ones((n, 2), np.float32),
+                start_pts=np.zeros((n, 2), np.int64),
+                cams=cams,
+                poses=pose.astype(np.float32),
+                shape=shape,
+                phis=phis,
+                time_pts=np.asarray([0, n]),
+            )
+            with TFRecordWriter(os.path.join(
+                test_dir, f"record_{ti:02d}.tfrecord"
+            )) as w:
+                w.write(serialized)
     return data_dir, smpl_path
 
 
