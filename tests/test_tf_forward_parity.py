@@ -327,3 +327,156 @@ def test_full_window_forward_matches_tf(model_and_slim):
             np.asarray(want),
             atol=5e-4, rtol=1e-3, err_msg=f"omega delta {dt}",
         )
+
+
+# ---------------------------------------------------------------------------
+# Discriminator + optcam-loss graph conventions (the two remaining graph
+# pieces a converted checkpoint's training resume exercises).
+# ---------------------------------------------------------------------------
+
+
+def tf_pose_discriminator(poses_rot, v):
+    """PoseDiscriminator.get_output
+    (/root/reference/src/discriminators.py:15-78): (N, 23, 1, 9) ->
+    1x1 conv(32) relu x2 -> 23 per-joint linear heads + flatten ->
+    fc1024 relu x2 -> fc1; output (N, 24) logits."""
+    n = poses_rot.shape[0]
+    x = tf.constant(poses_rot.reshape(n, 23, 1, 9), tf.float32)
+    x = tf.nn.relu(
+        tf.nn.conv2d(x, v["D_pose/D_conv1/weights"], 1, "SAME")
+        + v["D_pose/D_conv1/biases"]
+    )
+    x = tf.nn.relu(
+        tf.nn.conv2d(x, v["D_pose/D_conv2/weights"], 1, "SAME")
+        + v["D_pose/D_conv2/biases"]
+    )
+    theta_out = []
+    for i in range(23):
+        theta_out.append(
+            x[:, i, :, :] @ v[f"D_pose/pose_out_j{i}/weights"]
+            + v[f"D_pose/pose_out_j{i}/biases"]
+        )                                         # each (N, 1, 1)
+    theta_all = tf.squeeze(tf.stack(theta_out, axis=1))  # (N, 23)
+    flat = tf.reshape(x, (n, 23 * 32))            # slim.flatten
+    h = tf.nn.relu(
+        flat @ v["D_pose/D_alljoints_fc1/weights"]
+        + v["D_pose/D_alljoints_fc1/biases"]
+    )
+    h = tf.nn.relu(
+        h @ v["D_pose/D_alljoints_fc2/weights"]
+        + v["D_pose/D_alljoints_fc2/biases"]
+    )
+    all_out = (h @ v["D_pose/D_alljoints_out/weights"]
+               + v["D_pose/D_alljoints_out/biases"])
+    return tf.concat([theta_all, all_out], axis=1)
+
+
+def test_pose_discriminator_matches_tf():
+    """Per-joint-Dense == 1x1-conv equivalence, slim.flatten ordering,
+    the 23 stacked heads vs the reference's 23 separate scopes."""
+    from human_dynamics_tpu.models.discriminator import PoseDiscriminator
+
+    disc = PoseDiscriminator()
+    poses_rot = RNG.randn(4, 23, 9).astype(np.float32)
+    params = disc.init(jax.random.PRNGKey(11), jnp.asarray(poses_rot))
+
+    p = params["params"]
+    slim_d = {}
+    for conv in ("D_conv1", "D_conv2"):
+        k = np.asarray(p[conv]["kernel"])         # (9|32, 32)
+        slim_d[f"D_pose/{conv}/weights"] = tf.constant(
+            k.reshape(1, 1, *k.shape), tf.float32
+        )
+        slim_d[f"D_pose/{conv}/biases"] = tf.constant(
+            np.asarray(p[conv]["bias"]), tf.float32
+        )
+    for j in range(23):
+        slim_d[f"D_pose/pose_out_j{j}/weights"] = tf.constant(
+            np.asarray(p["per_joint_w"])[j].reshape(32, 1), tf.float32
+        )
+        slim_d[f"D_pose/pose_out_j{j}/biases"] = tf.constant(
+            np.asarray(p["per_joint_b"])[j].reshape(1), tf.float32
+        )
+    for fc in ("D_alljoints_fc1", "D_alljoints_fc2", "D_alljoints_out"):
+        slim_d[f"D_pose/{fc}/weights"] = tf.constant(
+            np.asarray(p[fc]["kernel"]), tf.float32
+        )
+        slim_d[f"D_pose/{fc}/biases"] = tf.constant(
+            np.asarray(p[fc]["bias"]), tf.float32
+        )
+
+    want = np.asarray(tf_pose_discriminator(poses_rot, slim_d))
+    got = np.asarray(disc.apply(params, jnp.asarray(poses_rot)))
+    assert got.shape == want.shape == (4, 24)
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
+
+
+def tf_procrustes2d_vis(x, x_target):
+    """projection.py:48-104 verbatim conventions: vis threshold,
+    eps*I-regularized 2x2 inverse, trace/2 scale, [0.7, 10] clip."""
+    vis = tf.cast(x_target[:, :, 2] > 0, tf.float32)
+    vis_vec = tf.expand_dims(vis, 2)
+    x_target_xy = x_target[:, :, :2]
+    x_vis = vis_vec * x
+    x_target_vis = vis_vec * x_target_xy
+    num_vis = tf.expand_dims(tf.reduce_sum(vis, 1, keepdims=True), 2)
+    mu1 = tf.reduce_sum(x_vis, 1, keepdims=True) / num_vis
+    mu2 = tf.reduce_sum(x_target_vis, 1, keepdims=True) / num_vis
+    xmu = vis_vec * (x - mu1)
+    y = vis_vec * (x_target_xy - mu2)
+    eps = 1e-6 * tf.eye(2)
+    Ainv = tf.linalg.inv(tf.matmul(xmu, xmu, transpose_a=True) + eps)
+    B = tf.matmul(xmu, y, transpose_a=True)
+    scale = tf.expand_dims(tf.linalg.trace(tf.matmul(Ainv, B)) / 2.0, 1)
+    scale = tf.clip_by_value(scale, 0.7, 10)
+    trans = tf.squeeze(mu2) / scale - tf.squeeze(mu1)
+    return tf.concat([scale, trans], 1)
+
+
+def tf_loss_e_kp_optcam(kp_gt, kp_pred):
+    """compute_loss_e_kp_optcam (/root/reference/src/ops.py:14-56):
+    best-cam solve + idrot reprojection + visibility-weighted
+    absolute_difference (SUM_BY_NONZERO_WEIGHTS)."""
+    b, t = kp_gt.shape[:2]
+    gt = tf.constant(kp_gt.reshape(b * t, -1, 3), tf.float32)
+    pred = tf.constant(kp_pred.reshape(b * t, -1, 2), tf.float32)
+    best_cam = tf.stop_gradient(tf_procrustes2d_vis(pred, gt))
+    cam = tf.reshape(best_cam, [-1, 1, 3])
+    pred_sim = cam[:, :, :1] * (pred + cam[:, :, 1:])
+    gt_flat = tf.reshape(gt, (-1, 3))
+    pred_flat = tf.reshape(pred_sim, (-1, 2))
+    vis = tf.expand_dims(gt_flat[:, 2], 1)
+    loss = tf.compat.v1.losses.absolute_difference(
+        gt_flat[:, :2], pred_flat, weights=vis
+    )
+    return loss, tf.reshape(best_cam, (b, t, 3))
+
+
+def test_optcam_kp_loss_matches_tf():
+    """Closed-form 2x2 solve vs TF's matrix_inverse, the scale clip,
+    and the SUM_BY_NONZERO_WEIGHTS L1 reduction, end-to-end."""
+    from human_dynamics_tpu.train.losses import keypoint_l1_loss_optcam
+
+    b, t, k = 2, 5, 25
+    kp_pred = (RNG.randn(b, t, k, 2) * 0.4).astype(np.float32)
+    kp_gt = np.zeros((b, t, k, 3), np.float32)
+    # gt = a known similarity transform of pred + noise, mixed visibility
+    # (every frame keeps >= 3 visible points).
+    kp_gt[..., :2] = (
+        1.7 * (kp_pred + np.array([0.1, -0.2], np.float32))
+        + RNG.randn(b, t, k, 2).astype(np.float32) * 0.05
+    )
+    vis = (RNG.rand(b, t, k) > 0.3).astype(np.float32)
+    vis[..., :3] = 1.0
+    kp_gt[..., 2] = vis
+
+    want_loss, want_cam = tf_loss_e_kp_optcam(kp_gt, kp_pred)
+    got_loss, got_cam = keypoint_l1_loss_optcam(
+        jnp.asarray(kp_gt), jnp.asarray(kp_pred)
+    )
+    np.testing.assert_allclose(
+        float(got_loss), float(want_loss), atol=1e-5, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_cam), np.asarray(want_cam), atol=1e-4, rtol=1e-3
+    )
