@@ -128,6 +128,7 @@ class Evaluator:
         pred_mode: str = "pred",
         smpl=None,
         model_tag: str = "model",
+        device_metrics: bool = False,
     ):
         self.predictor = predictor
         self.output_dir = output_dir
@@ -138,6 +139,22 @@ class Evaluator:
         # into the same out_dir with a different checkpoint or T cannot
         # return stale predictions.
         self.model_tag = f"{model_tag}_T{predictor.seq_length}"
+        # device_metrics: compute the per-tube error dict ON DEVICE
+        # (eval/metrics_device.py) and fetch only scalars — predictions
+        # never leave the chip (a 500-frame tube's verts are ~41 MB;
+        # device->host is the slow path on tunnel-grade links). The
+        # numpy path stays the behavioral oracle
+        # (tests/test_eval_device_metrics.py asserts agreement). The
+        # per-tube prediction pkl cache is skipped in this mode (it
+        # would force the fetch); the errors cache still provides
+        # crash-resume.
+        self.device_metrics = device_metrics
+        if device_metrics:
+            from human_dynamics_tpu.eval.metrics_device import (
+                make_compute_errors_device,
+            )
+
+            self._device_errors = make_compute_errors_device(self.smpl)
         os.makedirs(output_dir, exist_ok=True)
 
     def _cache_path(self, kind, dataset, record_name, person_id):
@@ -177,6 +194,14 @@ class Evaluator:
             with open(eval_path, "rb") as f:
                 return pickle.load(f)
 
+        if self.device_metrics:
+            errors = self._eval_tube_device(
+                data, has_3d=has_3d, compute_mesh=compute_mesh
+            )
+            with open(eval_path, "wb") as f:
+                pickle.dump(errors, f)
+            return errors
+
         preds = self.predict_tube(dataset, record_name, person_id, data)
         n = data["N"]
         # kp errors are in pixels at the crop resolution; test records
@@ -201,6 +226,84 @@ class Evaluator:
         with open(eval_path, "wb") as f:
             pickle.dump(errors, f)
         return errors
+
+    def _eval_tube_device(self, data, has_3d: bool, compute_mesh: bool):
+        """Device-resident twin of eval_tube's compute: predictions stay
+        on the chip, one jitted program computes the tube-scalar error
+        dict, and only the scalars are fetched."""
+        import jax.numpy as jnp
+
+        if data.get("phis") is not None:
+            preds = self.predictor.predict_all_images(
+                data["phis"], as_numpy=False
+            )
+        else:
+            images = np.stack([
+                ((im / 255.0) - 0.5) * 2 for im in data["images"]
+            ]).astype(np.float32)
+            preds = self.predictor.predict_all_images(
+                images, as_numpy=False
+            )
+        n = data["N"]
+        img_size = (
+            data["images"][0].shape[0] if data.get("images") else 224
+        )
+
+        # Count-bucket the frame axis ({2^k, 3*2^k}, like the
+        # predictor's window counts) so assorted tube lengths share a
+        # handful of compiled metric programs; padded rows are masked
+        # out inside the jitted program via num_frames.
+        from human_dynamics_tpu.infer.predictor import _bucket
+
+        nb = _bucket(n)
+
+        def pad_host(a):
+            a = np.asarray(a, np.float32)[:n]
+            return jnp.asarray(np.concatenate(
+                [a, np.zeros((nb - n,) + a.shape[1:], a.dtype)]
+            )) if nb > n else jnp.asarray(a)
+
+        def pad_dev(a, fill=0.0):
+            a = a[:n]
+            if nb == n:
+                return a
+            pad_block = jnp.full((nb - n,) + a.shape[1:], fill, a.dtype)
+            return jnp.concatenate([a, pad_block])
+
+        kw = {}
+        if has_3d:
+            poses_pred_pad = pad_dev(preds["poses"])
+            if nb > n:
+                # Padded rotations must be valid (identity): the
+                # rotmat->axis-angle of a zero matrix is NaN.
+                eye = jnp.broadcast_to(
+                    jnp.eye(3, dtype=poses_pred_pad.dtype),
+                    (nb - n, 24, 3, 3),
+                )
+                poses_pred_pad = poses_pred_pad.at[n:].set(eye)
+            kw = dict(
+                joints_gt=pad_host(data["gt3ds"]),
+                poses_gt=pad_host(
+                    np.asarray(data["poses"]).reshape(n, 72)
+                ),
+                shape_gt=jnp.asarray(
+                    np.asarray(data["shape"], np.float32)
+                ),
+                shapes_pred=pad_dev(preds["shapes"]),
+                poses_pred=poses_pred_pad,
+            )
+        errors = self._device_errors(
+            kps_gt=pad_host(data["kps"]),
+            kps_pred=pad_dev(preds["kps"]),
+            joints_pred=pad_dev(preds["joints"][:, :14]),
+            num_frames=jnp.asarray(n, jnp.int32),
+            img_size=img_size,
+            has_3d=has_3d,
+            min_visible=6,
+            compute_mesh=compute_mesh,
+            **kw,
+        )
+        return {k: float(v) for k, v in errors.items()}
 
     def eval_dataset(
         self,
@@ -441,6 +544,11 @@ def main():
     parser.add_argument(
         "--no_restore_config", action="store_true",
         help="do not re-apply the checkpoint's params.json architecture")
+    parser.add_argument(
+        "--device_metrics", action="store_true",
+        help="compute per-tube error dicts on device and fetch only "
+             "scalars (predictions never leave the chip; "
+             "eval/metrics_device.py)")
     args = parser.parse_args()
 
     from human_dynamics_tpu.utils.cache import enable_compilation_cache
@@ -469,7 +577,8 @@ def main():
     )
     tag = os.path.basename(os.path.normpath(args.load_path))
     evaluator = Evaluator(
-        predictor, args.out_dir, args.pred_mode, model_tag=tag
+        predictor, args.out_dir, args.pred_mode, model_tag=tag,
+        device_metrics=args.device_metrics,
     )
     if args.test_const:
         evaluator.run_const(args.tf_dir, args.datasets, args.split)
