@@ -96,6 +96,32 @@ class StreamingPredictor:
             k: v.reshape((-1,) + v.shape[3:]) for k, v in out.items()
         }
 
+    @functools.partial(jax.jit, static_argnums=(0, 3, 4))
+    def _emit_fused(self, variables, enc_qp, is_uint8, first, frames,
+                    tail):
+        """Image-mode steady path: ONE program per emission — encode
+        the quantum's frames AND run the window group. Per-emission
+        dispatch count drops from 2 to 1 (each dispatch carries real
+        overhead on any deployment, and ~25 ms of handle marshalling on
+        tunnel-grade links), and XLA can overlap the encoder with the
+        temporal tail inside the single program."""
+        encode = self._p._chunk_encoder(variables, enc_qp, is_uint8)
+        phi = encode(frames)                 # (quantum [+margin], C)
+        if first:
+            front = jnp.zeros(
+                (self.margin, phi.shape[-1]), phi.dtype
+            )
+        else:
+            front = tail
+        buf = jnp.concatenate([front, phi], axis=0)
+        out = self._p._predict_window_groups(
+            variables, buf, jnp.arange(1)
+        )
+        out = {
+            k: v.reshape((-1,) + v.shape[3:]) for k, v in out.items()
+        }
+        return out, buf[-2 * self.margin:]
+
     def _encode_frames(self, frames_np: np.ndarray) -> jax.Array:
         """Encode real frames to phi (bucket-padded, trimmed)."""
         if not self._image_mode:
@@ -173,8 +199,28 @@ class StreamingPredictor:
         emissions = []
         while self._pending_n >= self._need():
             take = self._need()
-            phi = self._encode_frames(self._take(take))
-            emissions.append(self._run_step(phi))
+            frames_np = self._take(take)
+            if self._image_mode:
+                # Fused single-dispatch emission (encode + window group
+                # in one program; frame counts are fixed per phase, so
+                # no bucket padding is needed).
+                first = self._tail is None
+                c = self._p.model.feature_dim
+                tail = (
+                    jnp.zeros((2 * self.margin, c), jnp.float32)
+                    if first else self._tail
+                )
+                out, self._tail = self._emit_fused(
+                    self._p._fused_vars, self._p._int8_qp,
+                    bool(self._uint8), first,
+                    jnp.asarray(frames_np), tail,
+                )
+                if self.as_numpy:
+                    out = jax.device_get(out)
+                emissions.append(out)
+            else:
+                phi = self._encode_frames(frames_np)
+                emissions.append(self._run_step(phi))
         return emissions
 
     def flush(self) -> List[Dict]:
