@@ -117,6 +117,40 @@ def test_image_mode_train_step(image_data_dir):
     assert np.isfinite(float(metrics["d_loss"]))
 
 
+def test_image_mode_train_step_dp_sharded(image_data_dir):
+    """The FULL image-mode step (resnet included) pjit-sharded over an
+    8-device data mesh, loss-parity vs the unsharded step — the
+    image-mode analogue of test_train.test_train_step_dp_sharded
+    (low-res crops keep it CPU-tractable)."""
+    from human_dynamics_tpu.parallel import (
+        make_mesh,
+        replicate,
+        shard_batch,
+    )
+    from human_dynamics_tpu.train.trainer import Trainer
+
+    config = image_config(image_data_dir, batch_size=8, img_size=32)
+    pipeline = TrainDataPipeline(config)
+    batch = pipeline._assemble_batch()
+    smpl = synthetic_smpl_model(num_verts=32, num_kps=25)
+
+    trainer = Trainer(config, smpl)
+    mesh = make_mesh(8)
+    trainer.state = replicate(trainer.state, mesh)
+    metrics = trainer.step(shard_batch(batch, mesh))
+    assert np.isfinite(float(metrics["e_loss"]))
+    assert np.isfinite(float(metrics["d_loss"]))
+
+    trainer2 = Trainer(config, smpl)
+    metrics2 = trainer2.step(batch)
+    np.testing.assert_allclose(
+        float(metrics["e_loss"]), float(metrics2["e_loss"]), rtol=5e-4
+    )
+    np.testing.assert_allclose(
+        float(metrics["d_loss"]), float(metrics2["d_loss"]), rtol=5e-4
+    )
+
+
 def test_freeze_phi_keeps_resnet_fixed(image_data_dir):
     """freeze_phi: resnet params must not move in the train step
     (get_unfrozen_E_vars, trainer_sequence_fc.py:681-685)."""
