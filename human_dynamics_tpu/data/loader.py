@@ -301,7 +301,11 @@ class ExampleStream:
         return out
 
     def _finalize(self, out: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
-        """Decode deferred jpegs after the shuffle buffer."""
+        """Decode deferred jpegs after the shuffle buffer.
+
+        Frames stay uint8: normalization happens on device inside the
+        batched tube augmentation (TrainDataPipeline._augment_batch), so
+        the host->device transfer moves 1 byte/pixel instead of 4."""
         jpegs = out.pop("_jpegs", None)
         if jpegs is not None:
             import cv2
@@ -314,7 +318,7 @@ class ExampleStream:
                     cv2.COLOR_BGR2RGB,
                 )
                 for d in jpegs
-            ]).astype(np.float32) / 255.0
+            ])
             out["images"] = _pad_to_t(imgs, self.t)
         return out
 
@@ -468,6 +472,7 @@ class TrainDataPipeline:
             shuffle_buffer=300, shuffle_bytes=shuffle_bytes,
         ))
         self._aug_rng_counter = 0
+        self._augment_batch_fn = None
         self.mocap = iter(MocapStream(
             MocapStream.mocap_files(config.data_dir,
                                     config.mocap_datasets),
@@ -476,6 +481,7 @@ class TrainDataPipeline:
         self.rng = np.random.RandomState(config.seed + 2)
         self._queue: queue_mod.Queue = queue_mod.Queue(maxsize=prefetch)
         self._thread: Optional[threading.Thread] = None
+        self._stopping = False
 
     def _assemble_batch(self):
         from human_dynamics_tpu.train.trainer import Batch
@@ -507,10 +513,18 @@ class TrainDataPipeline:
             poses_real=poses_real.reshape(self.pool_size, 24, 3),
         )
 
-    def _assemble_image_batch(self, examples, poses_real):
-        """Image-mode batch: on-device tube augmentation per example
-        (read_data's TubePreprocessor call,
-        data_loader_sequence.py:298-308)."""
+    def _make_batched_augment(self):
+        """One jitted program for the whole batch's tube augmentation:
+        PRNG-key derivation, per-tube random walks, and the fused
+        affine warp all run on device in a single dispatch, on uint8
+        frames normalized in-program.
+
+        The per-example version dispatched 2 programs per tube and
+        uploaded float32 frames; batching cuts the host->device bytes
+        4x and the dispatch count from ~2B to 1 per batch — the
+        difference between the loader being augmentation-bound and
+        decode-bound (scripts/bench_loader.py numbers in
+        docs/perf_image_training.md)."""
         import jax
         import jax.numpy as jnp
 
@@ -518,16 +532,13 @@ class TrainDataPipeline:
             augment_tube,
             sample_tube_params,
         )
-        from human_dynamics_tpu.train.trainer import Batch
 
         c = self.config
-        b, t = c.batch_size, c.T
-        crops_all, kps_all, poses_all, gt3ds_all = [], [], [], []
-        for e in examples:
-            self._aug_rng_counter += 1
+        t = c.T
+
+        def one(seed, im, lab, cen, po, g3):
             params = sample_tube_params(
-                jax.random.PRNGKey(c.seed * 100003 +
-                                   self._aug_rng_counter),
+                jax.random.PRNGKey(seed),
                 t,
                 trans_max=c.trans_max,
                 delta_trans_max=c.delta_trans_max,
@@ -537,28 +548,58 @@ class TrainDataPipeline:
                 delta_rotate_max=c.delta_rotate_max,
             )
             crops, labels, poses, gt3ds = augment_tube(
-                jnp.asarray(e["images"]),
-                jnp.asarray(e["labels_raw"]),
-                jnp.asarray(e["centers"]),
-                jnp.asarray(e["poses"].reshape(t, 72)),
-                jnp.asarray(e["gt3ds"]),
-                params,
+                im.astype(jnp.float32) / 255.0,
+                lab, cen, po, g3, params,
                 output_size=c.img_size,
                 apply_rotation=c.rotate_max != 0,
             )
-            crops_all.append(crops)
-            kps_all.append(jnp.transpose(labels, (0, 2, 1)))
-            poses_all.append(poses)
-            gt3ds_all.append(gt3ds)
+            return crops, jnp.transpose(labels, (0, 2, 1)), poses, gt3ds
+
+        return jax.jit(jax.vmap(one))
+
+    def _assemble_image_batch(self, examples, poses_real):
+        """Image-mode batch: on-device tube augmentation, batched into
+        one dispatch (read_data's TubePreprocessor call,
+        data_loader_sequence.py:298-308)."""
+        import jax.numpy as jnp
+
+        from human_dynamics_tpu.train.trainer import Batch
+
+        c = self.config
+        b, t = c.batch_size, c.T
+        if self._augment_batch_fn is None:
+            self._augment_batch_fn = self._make_batched_augment()
+
+        # Same per-example key schedule as the historical per-tube path:
+        # PRNGKey(seed*100003 + running counter).
+        seeds = np.asarray(
+            [
+                c.seed * 100003 + self._aug_rng_counter + 1 + i
+                for i in range(b)
+            ],
+            np.uint32,
+        )
+        self._aug_rng_counter += b
+
+        crops, kps, poses_a, gt3ds_a = self._augment_batch_fn(
+            jnp.asarray(seeds),
+            jnp.asarray(np.stack([e["images"] for e in examples])),
+            jnp.asarray(np.stack([e["labels_raw"] for e in examples])),
+            jnp.asarray(np.stack([e["centers"] for e in examples])),
+            jnp.asarray(np.stack(
+                [e["poses"].reshape(t, 72) for e in examples]
+            )),
+            jnp.asarray(np.stack([e["gt3ds"] for e in examples])),
+        )
 
         return Batch(
-            phis=jnp.stack(crops_all),       # (B, T, S, S, 3) images
-            kps=jnp.stack(kps_all),
-            poses_gt=jnp.stack(poses_all).reshape(b, t, 24, 3),
+            phis=crops,                      # (B, T, S, S, 3) images
+            kps=kps,
+            poses_gt=poses_a.reshape(b, t, 24, 3),
             shapes_gt=jnp.asarray(
                 np.stack([e["shape"] for e in examples])
             ),
-            joints_gt=jnp.stack(gt3ds_all),
+            joints_gt=gt3ds_a,
             has_3d_joints=jnp.asarray(
                 np.stack([e["has_3d_joints"] for e in examples])
             ),
@@ -574,10 +615,11 @@ class TrainDataPipeline:
         # Exceptions are forwarded to the consumer instead of dying
         # silently (which would leave __iter__ blocked forever).
         try:
-            while True:
+            while not self._stopping:
                 self._queue.put(self._assemble_batch())
         except BaseException as exc:  # noqa: BLE001 - forwarded
-            self._queue.put(_WorkerError(exc))
+            if not self._stopping:
+                self._queue.put(_WorkerError(exc))
 
     def __iter__(self):
         if self._thread is None:
@@ -592,6 +634,22 @@ class TrainDataPipeline:
                     "training data prefetch worker failed"
                 ) from item.exc
             yield item
+
+    def close(self):
+        """Stop the prefetch thread cleanly (it otherwise dies as a
+        daemon at interpreter exit, possibly mid-dispatch). Idempotent;
+        safe to call whether or not iteration started."""
+        self._stopping = True
+        if self._thread is None:
+            return
+        # Unblock a put-blocked worker, then let it observe _stopping.
+        while self._thread.is_alive():
+            try:
+                self._queue.get_nowait()
+            except queue_mod.Empty:
+                pass
+            self._thread.join(timeout=0.2)
+        self._thread = None
 
 
 class _WorkerError:

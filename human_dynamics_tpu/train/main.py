@@ -116,6 +116,7 @@ def main(argv=None):
     finally:
         trainer.save()
         logger.close()
+        pipeline.close()
 
 
 if __name__ == "__main__":
