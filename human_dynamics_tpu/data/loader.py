@@ -291,7 +291,12 @@ class ExampleStream:
             # pop time in _finalize. Labels stay in crop pixel coords
             # (3, K) for the on-device tube augmentation (read_data,
             # data_loader_sequence.py:298-308).
+            # Pre-decoded records (image_format=raw_u8, written by
+            # datasets/reencode_records.py) skip the decode entirely —
+            # the remaining host cost on a decode-bound box.
             out["_jpegs"] = [bytes(d) for d in ex.image_datas[window]]
+            if ex.image_format == b"raw_u8":
+                out["_raw_hw"] = ex.image_shapes[window]
             out["labels_raw"] = _pad_to_t(
                 np.transpose(ex.kps[window], (0, 2, 1)), t
             )[:, :, :self.num_kps].astype(np.float32)
@@ -307,18 +312,25 @@ class ExampleStream:
         batched tube augmentation (TrainDataPipeline._augment_batch), so
         the host->device transfer moves 1 byte/pixel instead of 4."""
         jpegs = out.pop("_jpegs", None)
+        raw_hw = out.pop("_raw_hw", None)
         if jpegs is not None:
-            import cv2
+            if raw_hw is not None:
+                imgs = np.stack([
+                    np.frombuffer(d, np.uint8).reshape(int(h), int(w), 3)
+                    for d, (h, w) in zip(jpegs, raw_hw)
+                ])
+            else:
+                import cv2
 
-            imgs = np.stack([
-                cv2.cvtColor(
-                    cv2.imdecode(
-                        np.frombuffer(d, np.uint8), cv2.IMREAD_COLOR
-                    ),
-                    cv2.COLOR_BGR2RGB,
-                )
-                for d in jpegs
-            ])
+                imgs = np.stack([
+                    cv2.cvtColor(
+                        cv2.imdecode(
+                            np.frombuffer(d, np.uint8), cv2.IMREAD_COLOR
+                        ),
+                        cv2.COLOR_BGR2RGB,
+                    )
+                    for d in jpegs
+                ])
             out["images"] = _pad_to_t(imgs, self.t)
         return out
 

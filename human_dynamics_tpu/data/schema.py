@@ -37,10 +37,14 @@ def convert_to_example_temporal(
     phis: Optional[np.ndarray] = None,
     image_datas_og: Optional[List[bytes]] = None,
     time_pts: Optional[np.ndarray] = None,
+    image_format: Optional[str] = None,
 ) -> bytes:
     """Build a serialized temporal Example (common.py:187-311).
 
     labels: (N, 3, K) with K in {14, 19, 25}.
+    image_format: frame encoding of image_datas — "jpg" (default,
+    unwritten) or "raw_u8" (pre-decoded uint8 bytes; see
+    TemporalExample.image_format).
     Returns serialized bytes (the reference returns a proto object).
     """
     n = len(labels)
@@ -92,6 +96,8 @@ def convert_to_example_temporal(
     }
     if image_datas is not None:
         feat["image/encoded"] = list(image_datas)
+        if image_format is not None and image_format != "jpg":
+            feat["image/format"] = [image_format.encode()]
     if face_pts is not None:
         feat["image/face_pts"] = face_pts.astype(np.float32).ravel()
     if toe_pts is not None:
@@ -128,6 +134,10 @@ class TemporalExample:
     phis: Optional[np.ndarray] = None     # (N, 2048)
     image_paths: Optional[List[bytes]] = None
     time_pts: Optional[np.ndarray] = None
+    # Frame encoding of image_datas: b"jpg" (default) or b"raw_u8"
+    # (pre-decoded HxWx3 uint8 bytes; datasets/reencode_records.py) —
+    # raw trades ~4x storage for zero decode cost on input-bound hosts.
+    image_format: bytes = b"jpg"
 
 
 def _assemble_kps(feats, n: int) -> np.ndarray:
@@ -189,6 +199,10 @@ def parse_temporal_example(serialized: bytes) -> TemporalExample:
         time_pts=(
             np.asarray(feats["meta/time_pts"], np.int64)
             if "meta/time_pts" in feats else None
+        ),
+        image_format=(
+            bytes(feats["image/format"][0])
+            if "image/format" in feats else b"jpg"
         ),
     )
 

@@ -177,6 +177,9 @@ def main():
                          "conservative)")
     ap.add_argument("--img_size", type=int, default=224)
     ap.add_argument("--batches", type=int, default=30)
+    ap.add_argument("--raw", action="store_true",
+                    help="also bench pre-decoded raw_u8 records "
+                         "(datasets/reencode_records.py)")
     ap.add_argument("--out", default="/tmp/bench_loader_data")
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
@@ -197,20 +200,41 @@ def main():
     results = {"src": args.src, "img_size": args.img_size,
                "mean_jpeg_kib": round(mean_jpeg / 1024, 1)}
 
-    pipeline = make_pipeline(args.out, False, args.img_size)
-    direct_ms, decode_ms = bench_direct(pipeline, args.batches)
-    results["image_direct_ms_per_batch"] = round(direct_ms, 1)
-    results["image_decode_ms_per_batch"] = round(decode_ms, 1)
-    print(f"image direct: {direct_ms:.1f} ms/batch "
-          f"({decode_ms:.1f} ms in 160 jpeg decodes)")
+    roots = {"": args.out}
+    if args.raw:
+        # Pre-decoded uint8 records (datasets/reencode_records.py):
+        # same tubes, zero decode in _finalize — measures what the
+        # storage-for-host-CPU trade buys on this box.
+        from human_dynamics_tpu.datasets.reencode_records import (
+            reencode_dir,
+        )
 
-    for step_ms in (0.0, 35.5, 51.8, 63.5):
-        pipeline = make_pipeline(args.out, False, args.img_size)
-        wait = bench_overlapped(pipeline, args.batches, step_ms)
-        results[f"image_wait_ms_at_step_{step_ms:g}"] = round(wait, 1)
-        print(f"image overlapped @ step {step_ms:5.1f} ms: "
-              f"median wait {wait:.1f} ms/batch "
-              f"-> e2e ~{step_ms + wait:.1f} ms/step")
+        raw_root = args.out + "_raw"
+        for ds in ("insta_variety", "h36m"):
+            reencode_dir(os.path.join(args.out, ds, "train"),
+                         os.path.join(raw_root, ds, "train"))
+        mocap_link = os.path.join(raw_root, "mocap_neutrMosh")
+        if not os.path.exists(mocap_link):
+            os.symlink(os.path.join(args.out, "mocap_neutrMosh"),
+                       mocap_link)
+        roots["raw_"] = raw_root
+
+    for prefix, root in roots.items():
+        pipeline = make_pipeline(root, False, args.img_size)
+        direct_ms, decode_ms = bench_direct(pipeline, args.batches)
+        results[f"{prefix}image_direct_ms_per_batch"] = round(direct_ms, 1)
+        results[f"{prefix}image_decode_ms_per_batch"] = round(decode_ms, 1)
+        print(f"{prefix or 'jpg_'}image direct: {direct_ms:.1f} ms/batch "
+              f"({decode_ms:.1f} ms in 160 frame reads)")
+
+        for step_ms in (0.0, 35.5, 51.8, 63.5):
+            pipeline = make_pipeline(root, False, args.img_size)
+            wait = bench_overlapped(pipeline, args.batches, step_ms)
+            results[f"{prefix}image_wait_ms_at_step_{step_ms:g}"] = round(
+                wait, 1)
+            print(f"{prefix or 'jpg_'}image overlapped @ step "
+                  f"{step_ms:5.1f} ms: median wait {wait:.1f} ms/batch "
+                  f"-> e2e ~{step_ms + wait:.1f} ms/step")
 
     pipeline = make_pipeline(args.out, True, args.img_size)
     phi_ms, _ = bench_direct(pipeline, args.batches)
