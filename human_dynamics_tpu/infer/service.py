@@ -48,6 +48,15 @@ class PredictionService:
             device arrays (adds a device->host fetch per request).
         max_queue: backpressure bound — ``submit`` blocks once this many
             requests are waiting (0 = unbounded).
+        mesh: optional 1-D ``jax.sharding.Mesh``. When set, offline
+            ``submit`` clips run data-parallel over the mesh
+            (``predict_all_images_sharded``: window groups sharded,
+            features replicated) — one big request uses every chip.
+            Live streams (``open_stream``) keep the single-device
+            latency path regardless: one emission is quantum-sized
+            (batch_size*8 frames), far too small to amortize
+            cross-chip collectives, and its state must stay where the
+            next quantum lands.
     """
 
     def __init__(
@@ -55,9 +64,11 @@ class PredictionService:
         predictor,
         as_numpy: bool = False,
         max_queue: int = 0,
+        mesh=None,
     ):
         self.predictor = predictor
         self.as_numpy = as_numpy
+        self.mesh = mesh
         self._queue: "queue.Queue" = queue.Queue(maxsize=max_queue)
         self._lock = threading.Lock()
         # Lifecycle lock: makes the closed-check + enqueue in submit()
@@ -83,15 +94,19 @@ class PredictionService:
         """Enqueue one clip; returns a Future of the prediction dict.
 
         ``frames``/``phi`` follow ``HmmrPredictor.predict_all_images``.
-        Raises RuntimeError after ``close()``.
+        With a service ``mesh``, the clip's window groups run
+        data-parallel over it. Raises RuntimeError after ``close()``.
         """
         n = int(len(frames) if frames is not None else len(phi))
-        return self._submit_thunk(
-            lambda: self.predictor.predict_all_images(
+        if self.mesh is not None:
+            thunk = lambda: self.predictor.predict_all_images_sharded(
+                frames, self.mesh, phi=phi, as_numpy=self.as_numpy
+            )
+        else:
+            thunk = lambda: self.predictor.predict_all_images(
                 frames, phi=phi, as_numpy=self.as_numpy
-            ),
-            num_frames=n,
-        )
+            )
+        return self._submit_thunk(thunk, num_frames=n)
 
     def _submit_thunk(self, thunk, num_frames: int = 0) -> "Future":
         """Enqueue arbitrary work on the dispatcher thread (the single

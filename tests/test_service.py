@@ -171,3 +171,36 @@ def test_streaming_session_reset_reopens():
         ]
         assert sum(len(e["omegas"]) for e in out) == len(phi)
     assert service.stats()["failed"] == 1
+
+
+def test_service_mesh_submit_matches_single_device():
+    """A mesh-backed service runs offline clips data-parallel
+    (predict_all_images_sharded) with single-device-identical results,
+    while a live stream on the same service keeps the single-device
+    path and still matches offline."""
+    from human_dynamics_tpu.parallel import make_mesh
+
+    mesh = make_mesh(8, axis_name="data")
+    service, pred = make_service(as_numpy=True, mesh=mesh)
+    phi = RNG.randn(53, 160).astype(np.float32) * 0.5
+    stream_phi = RNG.randn(29, 160).astype(np.float32) * 0.5
+    with service:
+        fut = service.submit(phi)
+        session = service.open_stream()
+        feeds = [session.feed(c) for c in np.array_split(stream_phi, 3)]
+        feeds.append(session.flush())
+        got = fut.result(timeout=300)
+        emissions = [e for f in feeds for e in f.result(timeout=300)]
+        assert service.stats()["failed"] == 0
+
+    want = pred.predict_all_images(phi)
+    assert set(got) == set(want)
+    for k in sorted(want):
+        np.testing.assert_allclose(
+            got[k], want[k], atol=2e-5, err_msg=k
+        )
+    streamed = np.concatenate([e["omegas"] for e in emissions])
+    np.testing.assert_allclose(
+        streamed, pred.predict_all_images(stream_phi)["omegas"],
+        atol=1e-5,
+    )
