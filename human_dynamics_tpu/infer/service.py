@@ -49,14 +49,23 @@ class PredictionService:
         max_queue: backpressure bound — ``submit`` blocks once this many
             requests are waiting (0 = unbounded).
         mesh: optional 1-D ``jax.sharding.Mesh``. When set, offline
-            ``submit`` clips run data-parallel over the mesh
-            (``predict_all_images_sharded``: window groups sharded,
-            features replicated) — one big request uses every chip.
-            Live streams (``open_stream``) keep the single-device
-            latency path regardless: one emission is quantum-sized
-            (batch_size*8 frames), far too small to amortize
-            cross-chip collectives, and its state must stay where the
-            next quantum lands.
+            ``submit`` clips run sharded over the mesh — one big
+            request uses every chip. Live streams (``open_stream``)
+            keep the single-device latency path regardless: one
+            emission is quantum-sized (batch_size*8 frames), far too
+            small to amortize cross-chip collectives, and its state
+            must stay where the next quantum lands.
+        mesh_mode: which sharded clip path ``submit`` uses:
+            ``"windowed"`` (default) — ``predict_all_images_sharded``:
+            window groups data-parallel, features replicated;
+            single-device-identical results (the reference's
+            overlap-stitch semantics, tester.py:260-312).
+            ``"halo"`` — ``parallel.halo.predict_clip_sharded``: the
+            clip's frames time-sharded with exact conv halo exchange
+            and clip-global GroupNorm; this is the *full-clip* forward
+            (no window stitching), so its outputs are the exact math
+            the windowed path approximates, under the halo path's key
+            set.
     """
 
     def __init__(
@@ -65,10 +74,16 @@ class PredictionService:
         as_numpy: bool = False,
         max_queue: int = 0,
         mesh=None,
+        mesh_mode: str = "windowed",
     ):
+        if mesh_mode not in ("windowed", "halo"):
+            raise ValueError(
+                f"mesh_mode must be 'windowed' or 'halo', got {mesh_mode!r}"
+            )
         self.predictor = predictor
         self.as_numpy = as_numpy
         self.mesh = mesh
+        self.mesh_mode = mesh_mode
         self._queue: "queue.Queue" = queue.Queue(maxsize=max_queue)
         self._lock = threading.Lock()
         # Lifecycle lock: makes the closed-check + enqueue in submit()
@@ -98,7 +113,9 @@ class PredictionService:
         data-parallel over it. Raises RuntimeError after ``close()``.
         """
         n = int(len(frames) if frames is not None else len(phi))
-        if self.mesh is not None:
+        if self.mesh is not None and self.mesh_mode == "halo":
+            thunk = lambda: self._predict_halo(frames, phi)
+        elif self.mesh is not None:
             thunk = lambda: self.predictor.predict_all_images_sharded(
                 frames, self.mesh, phi=phi, as_numpy=self.as_numpy
             )
@@ -107,6 +124,31 @@ class PredictionService:
                 frames, phi=phi, as_numpy=self.as_numpy
             )
         return self._submit_thunk(thunk, num_frames=n)
+
+    def _predict_halo(self, frames, phi) -> Dict[str, Any]:
+        """One clip through the exact time-sharded full-clip forward
+        (parallel.halo.predict_clip_sharded) on the service mesh.
+
+        Image clips encode to phi on one device first (the encoder is
+        per-frame; only the temporal pipeline needs the halo mesh)."""
+        import jax.numpy as jnp
+
+        from human_dynamics_tpu.parallel.halo import predict_clip_sharded
+
+        p = self.predictor
+        if phi is None:
+            if getattr(frames, "ndim", 0) == 2:
+                phi = frames
+            else:
+                phi = p.encode_frames(frames)
+        out = predict_clip_sharded(
+            p.model, p.variables, p.smpl,
+            jnp.asarray(phi, jnp.float32), self.mesh,
+            axis_name=self.mesh.axis_names[0],
+        )
+        if self.as_numpy:
+            out = {k: np.asarray(v) for k, v in out.items()}
+        return out
 
     def _submit_thunk(self, thunk, num_frames: int = 0) -> "Future":
         """Enqueue arbitrary work on the dispatcher thread (the single

@@ -204,3 +204,42 @@ def test_service_mesh_submit_matches_single_device():
         streamed, pred.predict_all_images(stream_phi)["omegas"],
         atol=1e-5,
     )
+
+
+def test_service_mesh_halo_submit_matches_direct():
+    """mesh_mode='halo' routes offline clips through the exact
+    time-sharded full-clip forward (predict_clip_sharded), matching a
+    direct call; bad mesh_mode values are rejected up front."""
+    import jax
+    import jax.numpy as jnp
+
+    from human_dynamics_tpu.models.hmmr import HmmrModel
+    from human_dynamics_tpu.parallel import make_mesh
+    from human_dynamics_tpu.parallel.halo import predict_clip_sharded
+
+    model = HmmrModel(feature_dim=64, do_hallucinate=False)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 20, 64)))
+    smpl = synthetic_smpl_model(num_verts=48, num_kps=25)
+    pred = HmmrPredictor(
+        model, variables, smpl, batch_size=2, seq_length=20
+    )
+    mesh = make_mesh(8, axis_name="time")
+
+    with pytest.raises(ValueError):
+        PredictionService(pred, mesh=mesh, mesh_mode="hallo")
+
+    phi = RNG.randn(43, 64).astype(np.float32) * 0.5
+    with PredictionService(
+        pred, as_numpy=True, mesh=mesh, mesh_mode="halo"
+    ) as service:
+        got = service.submit(phi).result(timeout=300)
+        assert service.stats()["failed"] == 0
+
+    want = predict_clip_sharded(
+        model, variables, smpl, jnp.asarray(phi), mesh
+    )
+    assert set(got) == set(want)
+    for k in sorted(want):
+        np.testing.assert_allclose(
+            got[k], np.asarray(want[k]), atol=1e-6, err_msg=k
+        )
