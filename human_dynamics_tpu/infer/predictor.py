@@ -88,6 +88,13 @@ class HmmrPredictor:
     ):
         if pred_mode not in ("pred", "hal"):
             raise ValueError(f"Pred mode {pred_mode!r} not recognized")
+        if seq_length < model.fov:
+            # g = T - (fov - 1) good frames per window; T < fov leaves
+            # zero, which the stitch schedule cannot cover.
+            raise ValueError(
+                f"seq_length={seq_length} is below the temporal "
+                f"fov={model.fov}; windows would contribute no frames"
+            )
         self.model = model
         self.variables = variables
         self.smpl = smpl

@@ -57,9 +57,34 @@ def make_phi_fn(rng, feature_dim):
     return phi_fn
 
 
+def _render_skeleton_frame(kp_px, size, radius):
+    """Deterministic synthetic 'video' frame: the gt 25-kp skeleton
+    drawn on black with the repo's own overlay (viz/skeleton.py).
+
+    Per-joint colors + edge colors make the pose recoverable from
+    pixels, which is what the image-mode gauntlet needs: an encoder
+    trained from scratch must invert exactly this rendering."""
+    from human_dynamics_tpu.viz.skeleton import draw_skeleton
+
+    canvas = np.zeros((size, size, 3), np.uint8)
+    return draw_skeleton(canvas, kp_px, draw_edges=True, radius=radius)
+
+
+def _encode_jpegs(frames, quality=90):
+    import cv2
+
+    return [
+        cv2.imencode(
+            ".jpg", f, [int(cv2.IMWRITE_JPEG_QUALITY), quality]
+        )[1].tobytes()
+        for f in frames
+    ]
+
+
 def generate_data(out_dir, num_tubes=64, frames_per_tube=120,
                   feature_dim=2048, num_verts=512, seed=0,
-                  num_test_tubes=0, test_dataset="3dpw"):
+                  num_test_tubes=0, test_dataset="3dpw",
+                  with_images=False, crop_size=224):
     import jax.numpy as jnp
 
     from human_dynamics_tpu.core import synthetic_smpl_model
@@ -133,6 +158,41 @@ def generate_data(out_dir, num_tubes=64, frames_per_tube=120,
             np.float32) * 0.01
         return pose, shape, cams, gt3ds, kps25, phis
 
+    # Image-mode tubes store frames LARGER than the train crop so the
+    # tube augmentation's scale walk (2^±0.3) and ±trans_max jitter stay
+    # inside real pixels: crop window half-extent at min scale is
+    # crop/2 * 2^0.3 ≈ 0.62*crop, plus the 20 px translation walk.
+    render_size = int(np.ceil(crop_size * 1.25)) + 48 if with_images else 0
+    radius = max(3, int(round(crop_size * 0.02)) + 1)
+
+    # The synthetic SMPL body spans only ~0.2 of the [-1, 1] projection
+    # box; rendered raw it would be a ~6 px blob at crop 64. Fix a
+    # GLOBAL zoom (same for every tube, train and test — i.e. a camera
+    # crop scale, exactly what real-data person crops do) so the body
+    # fills ~75% of the crop. kp labels and renders stay consistent by
+    # construction; training recovers scale through the predicted
+    # camera, as with real crops.
+    zoom, center0 = 1.0, np.zeros(2, np.float32)
+    if with_images:
+        base = smpl_forward(
+            smpl,
+            jnp.zeros((1, 10), jnp.float32),
+            jnp.asarray(
+                np.concatenate([[np.pi], np.zeros(71)])[None], jnp.float32
+            ),
+        )
+        j2 = np.asarray(base.joints)[0, :, :2]
+        center0 = 0.9 * j2.mean(axis=0)     # mean cam scale is 0.9
+        extent = float(np.abs(j2 - j2.mean(axis=0)).max())
+        zoom = 0.6 / max(0.9 * extent, 1e-3)
+
+    def kp_to_px(kps, size):
+        """[-1, 1] normalized kps -> px where the (zoomed, re-centered)
+        projection box spans one crop_size window centered in a
+        size x size frame (a centered unjittered crop reproduces the
+        training labels exactly)."""
+        return size / 2.0 + (kps - center0) * zoom * (crop_size / 2.0)
+
     tubes_per_shard = 8
     all_poses = []
     writers = {}
@@ -148,22 +208,35 @@ def generate_data(out_dir, num_tubes=64, frames_per_tube=120,
         pose, shape, cams, gt3ds, kps25, phis = synth_tube(n)
         all_poses.append(pose)
         labels = np.zeros((n, 3, 25), np.float32)
-        labels[:, :2] = np.transpose(kps25, (0, 2, 1))
+        if with_images:
+            # Image-mode train records: kp labels in source-frame px
+            # (the on-device tube augmentation transforms them into
+            # normalized crop coords, data/augment.py:augment_tube).
+            kp_px = kp_to_px(kps25, render_size)
+            labels[:, :2] = np.transpose(kp_px, (0, 2, 1))
+            image_datas = _encode_jpegs([
+                _render_skeleton_frame(kp_px[i], render_size, radius)
+                for i in range(n)
+            ])
+            src, center, phis_out = render_size, render_size // 2, None
+        else:
+            labels[:, :2] = np.transpose(kps25, (0, 2, 1))
+            image_datas, src, center, phis_out = None, 224, 112, phis
         labels[:, 2] = 1.0
 
         writer.write(convert_to_example_temporal(
-            image_datas=None,
+            image_datas=image_datas,
             image_paths=[f"f{i}.png" for i in range(n)],
-            image_shapes=np.full((n, 2), 224),
+            image_shapes=np.full((n, 2), src),
             labels=labels,
-            centers=np.full((n, 2), 112, np.int64),
+            centers=np.full((n, 2), center, np.int64),
             gt3ds=gt3ds.astype(np.float32) if with_3d else None,
             scale_factors=np.ones((n, 2), np.float32),
             start_pts=np.zeros((n, 2), np.int64),
             cams=cams if with_3d else None,
             poses=pose.astype(np.float32) if with_3d else None,
             shape=shape if with_3d else None,
-            phis=phis,
+            phis=phis_out,
         ))
     for w in writers.values():
         w.close()
@@ -192,23 +265,36 @@ def generate_data(out_dir, num_tubes=64, frames_per_tube=120,
         for ti in range(num_test_tubes):
             n = frames_per_tube
             pose, shape, cams, gt3ds, kps25, phis = synth_tube(n)
-            kp_px = (kps25 + 1.0) * 0.5 * 224.0
+            if with_images:
+                # Test records store the crop directly (the reference's
+                # test records are 224 crops, make_test_tfrecords.py:
+                # 84-161): render at crop_size, centered, no phi — the
+                # eval harness then takes the image path.
+                kp_px = kp_to_px(kps25, crop_size)
+                image_datas = _encode_jpegs([
+                    _render_skeleton_frame(kp_px[i], crop_size, radius)
+                    for i in range(n)
+                ])
+                src, phis_out = crop_size, None
+            else:
+                kp_px = (kps25 + 1.0) * 0.5 * 224.0
+                image_datas, src, phis_out = None, 224, phis
             labels = np.zeros((n, 3, 25), np.float32)
             labels[:, :2] = np.transpose(kp_px, (0, 2, 1))
             labels[:, 2] = 1.0
             serialized = convert_to_example_temporal(
-                image_datas=None,
+                image_datas=image_datas,
                 image_paths=[f"t{ti}_f{i}.png" for i in range(n)],
-                image_shapes=np.full((n, 2), 224),
+                image_shapes=np.full((n, 2), src),
                 labels=labels,
-                centers=np.full((n, 2), 112, np.int64),
+                centers=np.full((n, 2), src // 2, np.int64),
                 gt3ds=gt3ds.astype(np.float32),
                 scale_factors=np.ones((n, 2), np.float32),
                 start_pts=np.zeros((n, 2), np.int64),
                 cams=cams,
                 poses=pose.astype(np.float32),
                 shape=shape,
-                phis=phis,
+                phis=phis_out,
                 time_pts=np.asarray([0, n]),
             )
             with TFRecordWriter(os.path.join(

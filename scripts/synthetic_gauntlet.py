@@ -67,6 +67,7 @@ def run_gauntlet(args):
 
     from scripts.stability_run import generate_data
 
+    image_mode = args.mode == "image"
     data_dir, smpl_path = generate_data(
         args.out,
         num_tubes=args.num_tubes,
@@ -76,27 +77,67 @@ def run_gauntlet(args):
         seed=args.seed,
         num_test_tubes=args.num_test_tubes,
         test_dataset="3dpw",
+        with_images=image_mode,
+        crop_size=args.img_size,
     )
     print(f"[*] synthetic train+test data in {data_dir}")
+
+    train_data_dir = data_dir
+    if image_mode and getattr(args, "raw_records", False):
+        # Zero-decode training records (datasets/reencode_records.py) —
+        # the decode-bound-host mitigation measured in
+        # docs/perf_image_training.md; eval/demo keep the jpeg test
+        # records (their crop-undo path wants the originals).
+        from human_dynamics_tpu.datasets.reencode_records import (
+            reencode_dir,
+        )
+
+        raw_dir = data_dir.rstrip("/") + "_raw"
+        for ds in ("synth", "h36m"):
+            reencode_dir(os.path.join(data_dir, ds, "train"),
+                         os.path.join(raw_dir, ds, "train"))
+        mocap_link = os.path.join(raw_dir, "mocap_neutrMosh")
+        if not os.path.exists(mocap_link):
+            os.symlink(os.path.join(data_dir, "mocap_neutrMosh"),
+                       mocap_link)
+        train_data_dir = raw_dir
+        print(f"[*] training on raw_u8 records in {raw_dir}")
 
     model_dir = os.path.join(args.out, "model")
     from human_dynamics_tpu.train.main import main as train_main
 
+    train_flags = [
+        "--data_dir", train_data_dir,
+        "--datasets", "synth", "h36m",
+        "--mocap_datasets", "CMU",
+        "--smpl_model_path", smpl_path,
+        "--model_dir", model_dir,
+        "--feature_dim", str(args.feature_dim),
+        "--do_hallucinate", "true",
+        "--use_fused_smpl", "true" if args.fused else "false",
+        "--log_step", "100",
+        "--save_step", str(args.save_step),
+        "--log_img_step", "0",
+        "--num_steps", str(args.num_steps),
+        "--batch_size", str(args.batch_size),
+        "--T", str(args.T),
+    ]
+    if image_mode:
+        # The image leg trains the WHOLE pipeline — a random-init
+        # resnet_v2_50 included — so the encoder must learn to invert
+        # the skeleton rendering from pixels (no phi shortcut exists in
+        # the records). From-scratch needs a real learning rate (the
+        # reference's 1e-5 is a fine-tuning rate for a pretrained
+        # trunk).
+        train_flags += [
+            "--precomputed_phi", "false",
+            "--freeze_phi", "false",
+            "--img_size", str(args.img_size),
+            "--e_lr", str(args.e_lr),
+            "--use_bfloat16", "true" if args.bf16 else "false",
+        ]
     if not os.path.exists(os.path.join(model_dir, f"ckpt-{args.num_steps}")):
-        train_main([
-            "--data_dir", data_dir,
-            "--datasets", "synth", "h36m",
-            "--mocap_datasets", "CMU",
-            "--smpl_model_path", smpl_path,
-            "--model_dir", model_dir,
-            "--feature_dim", str(args.feature_dim),
-            "--do_hallucinate", "true",
-            "--use_fused_smpl", "true" if args.fused else "false",
-            "--log_step", "100",
-            "--save_step", str(args.save_step),
-            "--log_img_step", "0",
-            "--num_steps", str(args.num_steps),
-        ])
+        train_main(train_flags)
 
     # ------------------------------------------------------------------
     # Eval every checkpoint + the untrained baseline.
@@ -113,7 +154,7 @@ def run_gauntlet(args):
 
     smpl = load_smpl_model(smpl_path, joint_type="cocoplus")
     model_kwargs = restore_model_config(model_dir)
-    model_kwargs["include_resnet"] = False
+    model_kwargs["include_resnet"] = image_mode
     model_kwargs.setdefault("feature_dim", args.feature_dim)
     model = HmmrModel(**model_kwargs)
 
@@ -143,10 +184,11 @@ def run_gauntlet(args):
     # Untrained baseline: a fresh init (the trainer's seed path).
     import jax.numpy as jnp
 
-    init_vars = model.init(
-        jax.random.PRNGKey(args.seed + 1),
-        jnp.zeros((1, args.T, args.feature_dim)),
+    init_input = (
+        jnp.zeros((1, 1, args.img_size, args.img_size, 3))
+        if image_mode else jnp.zeros((1, args.T, args.feature_dim))
     )
+    init_vars = model.init(jax.random.PRNGKey(args.seed + 1), init_input)
     table[0], _, _ = eval_at("step0", init_vars)
     print(f"[*] untrained baseline: {table[0]}")
 
@@ -182,7 +224,14 @@ def run_gauntlet(args):
     data = read_test_example(next(iter(read_tfrecord(test_rec))))
     demo_dir = os.path.join(args.out, "demo_out")
     os.makedirs(demo_dir, exist_ok=True)
-    preds = final_predictor.predict_all_images(data["phis"])
+    if image_mode:
+        # RAW uint8 frames — the predictor's serving contract
+        # normalizes on device (predictor.py predict_all_images).
+        preds = final_predictor.predict_all_images(
+            np.stack(data["images"]).astype(np.uint8)
+        )
+    else:
+        preds = final_predictor.predict_all_images(data["phis"])
     preds["frame_range"] = np.array([0, data["N"]])
     pkl_path = os.path.join(demo_dir, "hmmr_output.pkl")
     with open(pkl_path, "wb") as f:
@@ -209,14 +258,21 @@ def run_gauntlet(args):
     # (c) the delta heads beating the constant-pose baseline (the
     # reference's dynamics-recovery criterion, eval.py:246-327), and
     # (d) landing far below the real-data reference scale.
+    # Image mode is the strictly harder closed loop (pixels -> pose with
+    # a random-init resnet, jpeg + integer-px rendering noise on top of
+    # the phi noise), so its improvement/PCK gates are looser; kp gates
+    # compare at the reference's 224-px scale either way.
+    kp_scale = 224.0 / args.img_size if image_mode else 1.0
+    kp_factor, pck_floor = (0.33, 0.90) if image_mode else (0.2, 0.99)
     gates = {
-        "kp_improves_5x": last["kp"] < 0.2 * first["kp"],
+        "kp_improves": last["kp"] < kp_factor * first["kp"],
         "joints_improve": last["joints"] < first["joints"],
         "joints_pa_improve": last["joints_pa"] < first["joints_pa"],
-        "pck_above_99": last["kp_pck"] > 0.99,
+        "pck_above_floor": last["kp_pck"] > pck_floor,
         "beats_reference_scale_joints_pa":
             last["joints_pa"] < REFERENCE_3DPW["joints_pa"],
-        "beats_reference_scale_kp": last["kp"] < REFERENCE_3DPW["kp"],
+        "beats_reference_scale_kp":
+            last["kp"] * kp_scale < REFERENCE_3DPW["kp"],
         "delta_heads_beat_const_baseline": all(
             const_3dpw[f"joints_dt{dt}"]
             < const_3dpw[f"joints_const_dt{dt}"]
@@ -246,14 +302,23 @@ def run_gauntlet(args):
 def write_report(path, result):
     table = {int(k): v for k, v in result["table"].items()}
     steps = sorted(table)
+    mode = result.get("config", {}).get("mode", "phi")
+    mode_line = (
+        "scratch on the real loader (`train/main.py`), full eval harness"
+        if mode == "phi" else
+        "scratch — IMAGE mode: tubes are rendered skeleton frames "
+        "(jpeg), a random-init resnet_v2_50 trains end-to-end from "
+        "pixels — on the real loader (`train/main.py`), full eval "
+        "harness"
+    )
     lines = [
-        "# Synthetic ground-truth accuracy gauntlet",
+        f"# Synthetic ground-truth accuracy gauntlet ({mode} mode)",
         "",
         "Closed-loop proof that train -> checkpoint -> eval -> demo-pkl",
         "compose correctly: tubes generated from KNOWN Omega trajectories",
-        "through the repo's own SMPL + projection, phi-mode training from",
-        "scratch on the real loader (`train/main.py`), full eval harness",
-        "(`eval/harness.py`) on held-out test records at every checkpoint.",
+        f"through the repo's own SMPL + projection, {mode}-mode training "
+        "from",
+        mode_line,
         "This is the reference's golden-table workflow",
         "(`src/evaluation/eval.py:353-496`, `doc/eval.md:27-31`)",
         "instantiated on the only data this environment permits",
@@ -322,6 +387,23 @@ def write_report(path, result):
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--out", default="/tmp/gauntlet")
+    ap.add_argument("--mode", choices=("phi", "image"), default="phi",
+                    help="phi: precomputed-feature closed loop. image: "
+                         "the full pixels->pose loop — tubes are "
+                         "rendered skeleton frames (jpeg), a random-"
+                         "init resnet trains end-to-end, eval runs on "
+                         "held-out image records")
+    ap.add_argument("--img_size", type=int, default=224,
+                    help="image-mode crop size (smaller = faster; the "
+                         "resnet handles any multiple of 32)")
+    ap.add_argument("--e_lr", type=float, default=1e-4,
+                    help="image-mode from-scratch learning rate")
+    ap.add_argument("--bf16", action="store_true",
+                    help="image-mode mixed-precision training")
+    ap.add_argument("--raw_records", action="store_true",
+                    help="image mode: re-encode the synthetic train "
+                         "records to raw_u8 (zero-decode loader path) "
+                         "before training")
     ap.add_argument("--num_steps", type=int, default=4000)
     ap.add_argument("--save_step", type=int, default=1000)
     ap.add_argument("--num_tubes", type=int, default=64)
