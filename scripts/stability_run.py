@@ -85,6 +85,25 @@ def generate_data(out_dir, num_tubes=64, frames_per_tube=120,
                   feature_dim=2048, num_verts=512, seed=0,
                   num_test_tubes=0, test_dataset="3dpw",
                   with_images=False, crop_size=224):
+    import json
+
+    # Generation is deterministic in these parameters; skip the (slow,
+    # for image mode) re-render when an identical run already completed
+    # in out_dir. The marker is written LAST, so a killed run re-renders.
+    gen_config = dict(
+        num_tubes=num_tubes, frames_per_tube=frames_per_tube,
+        feature_dim=feature_dim, num_verts=num_verts, seed=seed,
+        num_test_tubes=num_test_tubes, test_dataset=test_dataset,
+        with_images=with_images, crop_size=crop_size,
+    )
+    marker = os.path.join(out_dir, "GENERATED.json")
+    data_dir = os.path.join(out_dir, "data")
+    smpl_path = os.path.join(out_dir, "smpl_synth.npz")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if json.load(f) == gen_config:
+                return data_dir, smpl_path
+
     import jax.numpy as jnp
 
     from human_dynamics_tpu.core import synthetic_smpl_model
@@ -301,6 +320,9 @@ def generate_data(out_dir, num_tubes=64, frames_per_tube=120,
                 test_dir, f"record_{ti:02d}.tfrecord"
             )) as w:
                 w.write(serialized)
+
+    with open(marker, "w") as f:
+        json.dump(gen_config, f)
     return data_dir, smpl_path
 
 
