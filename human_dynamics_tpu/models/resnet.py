@@ -17,11 +17,12 @@ checkpoints — SURVEY.md §7 hard part 1):
   asymmetrically); we replicate the symmetric padding exactly.
 - Root conv (7x7/2) has no norm/activation (preact architecture); the
   trunk ends with a final BN+relu ("postnorm") before pooling.
-- BatchNorm: epsilon 1e-5, scale=True (slim resnet_arg_scope). Inference
-  uses the stored moving statistics; the reference always freezes or
-  precomputes phi (config.py:95,102), so train-mode BN is optional here
-  (`train=True` uses batch stats without updating the running averages --
-  update handling lives in the trainer if ever unfrozen).
+- BatchNorm: epsilon 1e-5, scale=True, moving-average decay 0.997 (slim
+  resnet_arg_scope). Inference uses the stored moving statistics;
+  train-mode BN normalizes with batch statistics and advances the
+  moving averages when applied with ``mutable=["batch_stats"]`` (the
+  reference runs slim's UPDATE_OPS with e_loss,
+  trainer_sequence_fc.py:747-750).
 
 Module names are chosen so flattened flax param paths map 1:1 onto slim
 variable names for the checkpoint converter
@@ -38,9 +39,21 @@ import jax.numpy as jnp
 
 
 class SlimBatchNorm(nn.Module):
-    """BatchNorm matching slim's resnet arg_scope (eps 1e-5, scale on)."""
+    """BatchNorm matching slim's resnet arg_scope (eps 1e-5, scale on,
+    moving-average decay 0.997).
+
+    In train mode the moving averages are updated iff the caller opted
+    in with ``mutable=["batch_stats"]`` — the reference executes slim's
+    UPDATE_OPS together with e_loss (trainer_sequence_fc.py:747-750),
+    so a training forward must advance the running statistics or
+    inference-mode BN diverges from the activations it normalizes (the
+    image-mode synthetic gauntlet catches exactly this). Callers that
+    apply train-mode BN without mutability (parity probes, grad checks)
+    still get pure batch-stat normalization with no update.
+    """
 
     epsilon: float = 1e-5
+    momentum: float = 0.997
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -57,6 +70,21 @@ class SlimBatchNorm(nn.Module):
             axes = tuple(range(x.ndim - 1))
             mean = jnp.mean(x, axis=axes)
             var = jnp.var(x, axis=axes)
+            if not self.is_initializing() and self.is_mutable_collection(
+                "batch_stats"
+            ):
+                # Accumulate in the stored dtype (fp32 master copies —
+                # the trainer keeps batch_stats out of its bf16 cast so
+                # the 0.003-scale increments don't quantize away).
+                m = self.momentum
+                moving_mean.value = (
+                    m * moving_mean.value
+                    + (1.0 - m) * mean.astype(moving_mean.value.dtype)
+                )
+                moving_var.value = (
+                    m * moving_var.value
+                    + (1.0 - m) * var.astype(moving_var.value.dtype)
+                )
         else:
             mean, var = moving_mean.value, moving_var.value
         inv = jax.lax.rsqrt(var + self.epsilon) * gamma

@@ -259,22 +259,43 @@ def compute_losses(
     b, t = batch.phis.shape[0], config.T
     rngs = {"dropout": dropout_rng} if dropout_rng is not None else None
 
+    # Train-mode BN (image mode) must advance the moving averages — the
+    # reference executes slim's UPDATE_OPS with e_loss
+    # (trainer_sequence_fc.py:747-750). The updated collection rides out
+    # through the metrics aux; train_step merges it into params_e.
+    mutable = ["batch_stats"] if (train and "batch_stats" in params_e) \
+        else False
+
     if config.use_bfloat16:
         # Mixed precision: the network fwd/bwd (the FLOPs: resnet /
         # temporal convs / IEF / hallucinator) in bf16; outputs cast
         # back so SMPL decode + every loss below stays fp32. Params
         # remain fp32 leaves — the cast is inside the grad graph, so
-        # gradients accumulate into fp32 optimizer state.
-        out = hmmr.apply(
-            tree_bf16(params_e), tree_bf16(batch.phis), train=train,
-            rngs=rngs,
+        # gradients accumulate into fp32 optimizer state. batch_stats
+        # stay fp32: train-mode BN never reads them for normalization,
+        # and the 0.003-scale moving-average increments would quantize
+        # away in bf16.
+        apply_e = {
+            k: (v if k == "batch_stats" else tree_bf16(v))
+            for k, v in params_e.items()
+        }
+        apply_x = tree_bf16(batch.phis)
+    else:
+        apply_e, apply_x = params_e, batch.phis
+
+    if mutable:
+        out, new_vars = hmmr.apply(
+            apply_e, apply_x, train=train, rngs=rngs, mutable=mutable
         )
+    else:
+        out = hmmr.apply(apply_e, apply_x, train=train, rngs=rngs)
+        new_vars = {}
+
+    if config.use_bfloat16:
         cast32 = lambda v: None if v is None else jax.tree_util.tree_map(
             lambda x: x.astype(jnp.float32), v
         )
         out = type(out)(*[cast32(v) for v in out])
-    else:
-        out = hmmr.apply(params_e, batch.phis, train=train, rngs=rngs)
 
     gt = OmegaGt.create(
         batch.poses_gt, batch.shapes_gt, batch.joints_gt, batch.kps
@@ -422,6 +443,8 @@ def compute_losses(
     metrics = dict(losses)
     metrics["e_loss"] = e_loss
     metrics["d_loss"] = d_loss
+    if mutable and "batch_stats" in new_vars:
+        metrics["_new_batch_stats"] = new_vars["batch_stats"]
     return e_loss, d_loss, metrics
 
 
@@ -469,6 +492,7 @@ def train_step(
         total_loss, argnums=(0, 1), has_aux=True
     )(trainable_e, state.params_d["params"])
     grads_e, grads_d = grads
+    new_batch_stats = metrics.pop("_new_batch_stats", None)
 
     updates_e, new_opt_e = tx_e.update(
         grads_e, state.opt_state_e, trainable_e
@@ -481,8 +505,12 @@ def train_step(
     )
     new_params_d = optax.apply_updates(state.params_d["params"], updates_d)
 
+    params_e_out = {**state.params_e, "params": new_params_e}
+    if new_batch_stats is not None:
+        params_e_out["batch_stats"] = new_batch_stats
+
     new_state = TrainState(
-        params_e={**state.params_e, "params": new_params_e},
+        params_e=params_e_out,
         params_d={**state.params_d, "params": new_params_d},
         opt_state_e=new_opt_e,
         opt_state_d=new_opt_d,

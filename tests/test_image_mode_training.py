@@ -117,6 +117,61 @@ def test_image_mode_train_step(image_data_dir):
     assert np.isfinite(float(metrics["d_loss"]))
 
 
+def test_bn_moving_stats_update_in_train_step(image_data_dir):
+    """The train step must advance the resnet's BN moving averages —
+    the reference executes slim's UPDATE_OPS together with e_loss
+    (trainer_sequence_fc.py:747-750, resnet_arg_scope decay 0.997).
+    Frozen init stats diverge from the drifting train activations and
+    the inference-mode forward explodes (caught by the image-mode
+    synthetic gauntlet). freeze_bn_stats opts out."""
+    import jax
+
+    from human_dynamics_tpu.train.trainer import Trainer
+
+    def stats_of(trainer):
+        return jax.tree_util.tree_map(
+            np.asarray, trainer.state.params_e["batch_stats"]
+        )
+
+    def flat(t):
+        from human_dynamics_tpu.utils.checkpoint import flatten_tree
+        return flatten_tree(t)
+
+    config = image_config(image_data_dir)
+    pipeline = TrainDataPipeline(config)
+    batch = pipeline._assemble_batch()
+    smpl = synthetic_smpl_model(num_verts=32, num_kps=25)
+
+    trainer = Trainer(config, smpl)
+    before = flat(stats_of(trainer))
+    trainer.step(batch)
+    after = flat(stats_of(trainer))
+    assert set(before) == set(after)
+    moved = [k for k in before if not np.allclose(before[k], after[k])]
+    # Every BN layer sees nonzero-mean activations somewhere.
+    assert len(moved) > len(before) * 0.5, (len(moved), len(before))
+    # Decay 0.997: one step moves the stats by (1-m) * batch stat.
+    k = next(k for k in moved if k.endswith("moving_mean"))
+    assert np.abs(after[k] - before[k]).max() < 1.0  # small, not a swap
+    for k in after:
+        assert after[k].dtype == np.float32, k
+
+    # Two steps compound.
+    trainer.step(batch)
+    after2 = flat(stats_of(trainer))
+    assert any(not np.allclose(after[k], after2[k]) for k in moved)
+
+    # freeze_bn_stats: inference-mode BN in the step, stats fixed.
+    frozen_tr = Trainer(
+        image_config(image_data_dir, freeze_bn_stats=True), smpl
+    )
+    fb = flat(stats_of(frozen_tr))
+    frozen_tr.step(batch)
+    fa = flat(stats_of(frozen_tr))
+    for k in fb:
+        np.testing.assert_array_equal(fb[k], fa[k], err_msg=k)
+
+
 def test_image_mode_train_step_dp_sharded(image_data_dir):
     """The FULL image-mode step (resnet included) pjit-sharded over an
     8-device data mesh, loss-parity vs the unsharded step — the
