@@ -173,6 +173,7 @@ def run_gauntlet(args):
         ev = Evaluator(
             predictor, os.path.join(args.out, "eval"),
             model_tag=tag,
+            device_metrics=getattr(args, "device_metrics", False),
         )
         results = ev.run(data_dir, ["3dpw"], split="test")
         return {
@@ -416,6 +417,11 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--fused", action="store_true",
                     help="Pallas fused SMPL kernel (TPU)")
+    ap.add_argument("--device_metrics", action="store_true",
+                    help="compute the eval metric dict on device "
+                         "(eval/metrics_device.py; 10.4x over the "
+                         "numpy path through tunnel-grade links — "
+                         "scripts/bench_eval_metrics.py)")
     ap.add_argument("--report", default=None,
                     help="write a markdown report here")
     args = ap.parse_args()
