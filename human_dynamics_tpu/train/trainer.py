@@ -575,9 +575,17 @@ class Trainer:
             return None
         from human_dynamics_tpu.utils.checkpoint import save_checkpoint
 
+        tree = self.state._asdict()
+        if self.config.save_params_only:
+            # Eval-only checkpoint: drop the Adam moment pairs (~2/3 of
+            # the state bytes). Saving fetches the whole tree to the
+            # host; on tunnel-attached deployments that readback is the
+            # dominant save cost (docs/train.md), and eval/demo only
+            # ever read params_e.
+            tree = {k: tree[k] for k in ("params_e", "params_d", "step")}
         return save_checkpoint(
             self.config.model_dir,
-            jax.tree_util.tree_map(np.asarray, self.state._asdict()),
+            jax.tree_util.tree_map(np.asarray, tree),
             step=int(self.state.step),
         )
 
@@ -590,14 +598,23 @@ class Trainer:
         ckpt = latest_checkpoint(model_dir)
         if ckpt is None:
             return False
-        tree = load_checkpoint(ckpt, target=self.state._asdict())
+        full = self.state._asdict()
+        try:
+            tree = load_checkpoint(ckpt, target=full)
+        except Exception:
+            # Params-only checkpoint (save_params_only): restore the
+            # model weights and step; optimizer moments start fresh.
+            slim = {k: full[k] for k in ("params_e", "params_d", "step")}
+            tree = load_checkpoint(ckpt, target=slim)
         self.state = TrainState(
             params_e=tree["params_e"],
             params_d=tree["params_d"],
-            opt_state_e=tree["opt_state_e"],
-            opt_state_d=tree["opt_state_d"],
+            opt_state_e=tree.get("opt_state_e", self.state.opt_state_e),
+            opt_state_d=tree.get("opt_state_d", self.state.opt_state_d),
             step=jnp.asarray(int(np.asarray(tree["step"])), jnp.int32),
         )
+        if "opt_state_e" not in tree:
+            print("Params-only checkpoint: optimizer moments reset")
         print(f"Restored checkpoint {ckpt} (step {int(self.state.step)})")
         return True
 

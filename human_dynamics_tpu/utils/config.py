@@ -116,6 +116,11 @@ class Config:
     log_img_count: int = 10        # frames per rendered summary strip
     log_step: int = 100
     save_step: int = 5000
+    # Checkpoints carry only params_e/params_d/step (no Adam moments):
+    # ~1/3 of the state bytes. Use on tunnel-attached deployments where
+    # the save's device->host readback dominates (docs/train.md);
+    # restore from such a checkpoint resets optimizer moments.
+    save_params_only: bool = False
 
     # ------------------------------------------------------------------
 

@@ -122,6 +122,11 @@ def run_gauntlet(args):
         "--batch_size", str(args.batch_size),
         "--T", str(args.T),
     ]
+    if getattr(args, "save_params_only", False):
+        # Eval-only checkpoints: the gauntlet never resumes, and on
+        # tunnel-attached chips the full-state readback (~3x the bytes)
+        # dominates each save (docs/train.md).
+        train_flags += ["--save_params_only", "true"]
     if image_mode:
         # The image leg trains the WHOLE pipeline — a random-init
         # resnet_v2_50 included — so the encoder must learn to invert
@@ -407,6 +412,10 @@ def main():
                          "before training")
     ap.add_argument("--num_steps", type=int, default=4000)
     ap.add_argument("--save_step", type=int, default=1000)
+    ap.add_argument("--save_params_only", action="store_true",
+                    help="eval-only checkpoints (no Adam moments): "
+                         "~1/3 of the save readback, which dominates "
+                         "on tunnel-attached chips (docs/train.md)")
     ap.add_argument("--num_tubes", type=int, default=64)
     ap.add_argument("--num_test_tubes", type=int, default=8)
     ap.add_argument("--frames_per_tube", type=int, default=120)

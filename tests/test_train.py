@@ -338,3 +338,40 @@ def test_shard_batch_2d_rejects_indivisible_t():
     mesh = make_mesh_2d(4, 2)
     with pytest.raises(ValueError):
         shard_batch_2d(batch, mesh)
+
+
+def test_save_params_only_checkpoint_roundtrip(tmp_path):
+    """save_params_only: the checkpoint carries params_e/params_d/step
+    but no Adam moments (~1/3 the readback bytes — the save cost that
+    dominates on tunnel-attached chips, docs/train.md). Eval reads
+    params_e as usual; auto-restore recovers the weights and step and
+    resets the moments."""
+    from human_dynamics_tpu.utils.checkpoint import (
+        latest_checkpoint,
+        load_checkpoint,
+    )
+
+    config = tiny_config(
+        model_dir=str(tmp_path / "m"), save_params_only=True
+    )
+    smpl = synthetic_smpl_model(num_verts=32, num_kps=config.num_kps)
+    trainer = Trainer(config, smpl)
+    batch = make_batch(config, smpl)
+    trainer.step(batch)
+    trainer.step(batch)
+    path = trainer.save()
+    assert path is not None
+
+    raw = load_checkpoint(latest_checkpoint(config.model_dir))
+    assert "params_e" in raw and "params_d" in raw
+    assert "opt_state_e" not in raw and "opt_state_d" not in raw
+
+    trainer2 = Trainer(config, smpl)  # auto-restores from model_dir
+    assert int(trainer2.state.step) == 2
+    a = jax.tree_util.tree_leaves(trainer.state.params_e)
+    b = jax.tree_util.tree_leaves(trainer2.state.params_e)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # Moments are fresh, and training continues finitely.
+    m = trainer2.step(batch)
+    assert np.isfinite(float(m["e_loss"]))
