@@ -19,17 +19,72 @@ corresponds to vs_baseline >= 10.
 """
 
 import json
+import os
+import sys
 import time
+import traceback
 
 import numpy as np
 
 REFERENCE_FPS_ESTIMATE = 80.0
 
 
+def _init_backend(attempts: int = 3, timeout_s: float = 150.0):
+    """Initialize the JAX backend with retries and a hang watchdog.
+
+    The tunneled axon TPU plugin has two observed outage modes: a fast
+    "Unable to initialize backend 'axon'" RuntimeError (round-4 snapshot)
+    and a `jax.devices()` that simply HANGS (round-5 probes: >300 s, no
+    return). Neither must turn the round's headline into a stack trace
+    or an rc=124 with no output (VERDICT r4 §weak 2) — probe in a daemon
+    thread with a deadline, retry, and let the caller emit the one-line
+    JSON error on final failure.
+    """
+    import threading
+
+    import jax
+
+    last = ["no result"]
+    for i in range(attempts):
+        def probe():
+            try:
+                last[0] = jax.devices()
+            except Exception as e:  # noqa: BLE001 - captured for report
+                last[0] = e
+
+        t = threading.Thread(target=probe, daemon=True)
+        t.start()
+        t.join(timeout_s)
+        if t.is_alive():
+            last[0] = TimeoutError(
+                f"jax.devices() hung > {timeout_s:.0f}s (tunnel outage)"
+            )
+            # The probe thread is stuck inside the plugin; a same-process
+            # retry would just re-join the same hung init. Bail out.
+            break
+        if not isinstance(last[0], Exception):
+            print(f"# backend ok: {last[0]}", file=sys.stderr)
+            return
+        print(
+            f"# backend init attempt {i + 1}/{attempts} failed: {last[0]}",
+            file=sys.stderr,
+        )
+        if i + 1 < attempts:
+            try:
+                import jax.extend.backend
+
+                jax.extend.backend.clear_backends()
+            except Exception:
+                pass
+            time.sleep(10.0 * (i + 1))
+    raise RuntimeError(f"backend unavailable: {last[0]}")
+
+
 def main():
     from human_dynamics_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    _init_backend()
 
     import jax
     import jax.numpy as jnp
@@ -123,4 +178,19 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 - the contract is ONE JSON line
+        traceback.print_exc(file=sys.stderr)
+        print(json.dumps({
+            "metric": "video_to_smpl_frames_per_sec_per_chip",
+            "value": None,
+            "unit": "frames/s",
+            "vs_baseline": None,
+            "error": f"{type(e).__name__}: {e}",
+        }))
+        sys.stdout.flush()
+        sys.stderr.flush()
+        # A hung backend-probe thread would also hang jax's atexit
+        # teardown; the JSON line is out, so end the process hard.
+        os._exit(0)

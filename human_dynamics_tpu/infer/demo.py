@@ -160,65 +160,44 @@ def render_preds(
     return out_mp4
 
 
-def main():
-    parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--vid_path", help="input video")
-    parser.add_argument("--img_dir", help="or: directory of frames")
-    parser.add_argument("--track_json", required=True,
-                        help="PoseFlow tracked json")
-    parser.add_argument("--load_path", required=True,
-                        help="checkpoint dir (orbax) or .npz params")
-    parser.add_argument("--smpl_model_path", required=True)
-    parser.add_argument("--out_dir", default="demo_output")
-    parser.add_argument("--track_id", type=int, default=0)
-    parser.add_argument("--trim", action="store_true")
-    parser.add_argument("--no_render", action="store_true")
-    parser.add_argument("--batch_size", type=int, default=8)
-    parser.add_argument("--T", type=int, default=20)
-    parser.add_argument("--fast", action="store_true",
-                        help="fused SMPL kernel + bf16 encoder "
-                             "(~2e-3 relative deviation)")
-    args = parser.parse_args()
-
+def run_on_video(predictor, smpl, args, vid_path: str, trim_length: int):
+    """One video end-to-end: tracks -> prediction -> render
+    (demo_video.py:194-217). When ``--track_json`` is absent the
+    AlphaPose/PoseFlow pipeline is invoked via ``compute_tracks``
+    (idempotent; per-video subdir under ``--track_dir`` like
+    extract_tracks.py:137-160)."""
     import cv2
 
-    from human_dynamics_tpu.utils.cache import enable_compilation_cache
-
-    enable_compilation_cache()
-
-    from human_dynamics_tpu.core.smpl import load_smpl_model
-    from human_dynamics_tpu.models.hmmr import HmmrModel
-    from human_dynamics_tpu.utils.checkpoint import load_variables
+    from human_dynamics_tpu.infer.extract_tracks import compute_tracks
     from human_dynamics_tpu.viz.video import dump_frames
 
-    if args.vid_path:
-        img_dir = os.path.join(
-            args.out_dir, os.path.basename(args.vid_path) + "_frames"
-        )
-        paths = dump_frames(args.vid_path, img_dir)
+    vid_name = os.path.splitext(os.path.basename(vid_path))[0]
+    if args.track_json:
+        track_json = args.track_json
+        img_dir = os.path.join(args.out_dir, vid_name + "_frames")
+        paths = dump_frames(vid_path, img_dir)
     else:
+        print(f"Computing tracks on {vid_path}.")
+        track_dir = os.path.join(args.track_dir or args.out_dir, vid_name)
+        track_json, img_dir = compute_tracks(
+            vid_path, track_dir,
+            alphapose_dir=args.alphapose_dir,
+            poseflow_dir=args.poseflow_dir,
+        )
         paths = sorted(
-            os.path.join(args.img_dir, f)
-            for f in os.listdir(args.img_dir)
+            os.path.join(img_dir, f)
+            for f in os.listdir(img_dir)
             if f.endswith((".png", ".jpg"))
         )
-    frames = [
-        cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB) for p in paths
-    ]
+    frames = [cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB) for p in paths]
 
-    smpl = load_smpl_model(args.smpl_model_path, joint_type="cocoplus")
-    model = HmmrModel(include_resnet=True)
-    variables = load_variables(args.load_path)
-    predictor = HmmrPredictor(
-        model, variables, smpl,
-        batch_size=args.batch_size, seq_length=args.T,
-        use_fused_smpl=args.fast, bf16_encoder=args.fast,
+    out_base = (
+        os.path.join(args.out_dir, vid_name, "hmmr_output")
+        if not args.track_json
+        else os.path.join(args.out_dir, "hmmr_output")
     )
-
-    trim_length = predictor.model.fov // 2 if args.trim else 0
     preds, images, proc_infos, out = predict_on_tracks(
-        predictor, frames, args.track_json,
-        os.path.join(args.out_dir, "hmmr_output"),
+        predictor, frames, track_json, out_base,
         track_id=args.track_id, trim_length=trim_length,
     )
     print(f"Saved predictions for {len(images)} frames to {out}")
@@ -231,6 +210,101 @@ def main():
             trim_length=trim_length, orig_frames=orig,
         )
         print(f"Rendered {mp4}")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--vid_path", help="input video")
+    parser.add_argument("--img_dir", help="or: directory of frames")
+    parser.add_argument("--vid_dir",
+                        help="or: run on every *.mp4 in a directory "
+                             "(demo_video.py:229-231)")
+    parser.add_argument("--track_json",
+                        help="PoseFlow tracked json; when absent the "
+                             "AlphaPose/PoseFlow pipeline runs via "
+                             "compute_tracks (requires --vid_path/--vid_dir)")
+    parser.add_argument("--track_dir",
+                        help="where track intermediates go "
+                             "(default: --out_dir)")
+    parser.add_argument("--alphapose_dir",
+                        help="AlphaPose checkout (see extract_tracks)")
+    parser.add_argument("--poseflow_dir",
+                        help="PoseFlow checkout (see extract_tracks)")
+    parser.add_argument("--load_path", required=True,
+                        help="checkpoint dir (orbax) or .npz params")
+    parser.add_argument("--smpl_model_path", required=True)
+    parser.add_argument("--out_dir", default="demo_output")
+    parser.add_argument("--track_id", type=int, default=0)
+    parser.add_argument("--trim", action="store_true")
+    parser.add_argument("--no_render", action="store_true")
+    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--T", type=int, default=20)
+    parser.add_argument("--fast", action="store_true",
+                        help="fused SMPL kernel + bf16 encoder "
+                             "(~2e-3 relative deviation)")
+    args = parser.parse_args(argv)
+    if not (args.vid_path or args.img_dir or args.vid_dir):
+        parser.error("one of --vid_path / --img_dir / --vid_dir is required")
+    if args.img_dir and not args.track_json:
+        parser.error("--img_dir requires --track_json (no video to track)")
+    if args.vid_dir and args.track_json:
+        parser.error("--vid_dir computes tracks per video; "
+                     "--track_json only applies to a single input")
+
+    from human_dynamics_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from human_dynamics_tpu.core.smpl import load_smpl_model
+    from human_dynamics_tpu.models.hmmr import HmmrModel
+    from human_dynamics_tpu.utils.checkpoint import load_variables
+
+    smpl = load_smpl_model(args.smpl_model_path, joint_type="cocoplus")
+    model = HmmrModel(include_resnet=True)
+    variables = load_variables(args.load_path)
+    predictor = HmmrPredictor(
+        model, variables, smpl,
+        batch_size=args.batch_size, seq_length=args.T,
+        use_fused_smpl=args.fast, bf16_encoder=args.fast,
+    )
+    trim_length = predictor.model.fov // 2 if args.trim else 0
+
+    if args.vid_dir:
+        import glob as globmod
+
+        vid_paths = sorted(globmod.glob(os.path.join(args.vid_dir, "*.mp4")))
+        if not vid_paths:
+            raise SystemExit(f"no *.mp4 in {args.vid_dir}")
+        for vid_path in vid_paths:
+            run_on_video(predictor, smpl, args, vid_path, trim_length)
+    elif args.vid_path:
+        run_on_video(predictor, smpl, args, args.vid_path, trim_length)
+    else:
+        # Frame directory + precomputed tracks (no video file).
+        import cv2
+
+        paths = sorted(
+            os.path.join(args.img_dir, f)
+            for f in os.listdir(args.img_dir)
+            if f.endswith((".png", ".jpg"))
+        )
+        frames = [
+            cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB) for p in paths
+        ]
+        preds, images, proc_infos, out = predict_on_tracks(
+            predictor, frames, args.track_json,
+            os.path.join(args.out_dir, "hmmr_output"),
+            track_id=args.track_id, trim_length=trim_length,
+        )
+        print(f"Saved predictions for {len(images)} frames to {out}")
+        if not args.no_render:
+            fr = preds.get("frame_range")
+            orig = frames[fr[0]:fr[1]] if fr is not None else None
+            mp4 = render_preds(
+                out, preds, images, proc_infos, smpl.faces,
+                trim_length=trim_length, orig_frames=orig,
+            )
+            print(f"Rendered {mp4}")
 
 
 if __name__ == "__main__":

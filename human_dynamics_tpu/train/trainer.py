@@ -591,6 +591,7 @@ class Trainer:
 
     def maybe_restore(self, model_dir: str) -> bool:
         from human_dynamics_tpu.utils.checkpoint import (
+            checkpoint_top_keys,
             latest_checkpoint,
             load_checkpoint,
         )
@@ -599,13 +600,17 @@ class Trainer:
         if ckpt is None:
             return False
         full = self.state._asdict()
-        try:
-            tree = load_checkpoint(ckpt, target=full)
-        except Exception:
-            # Params-only checkpoint (save_params_only): restore the
-            # model weights and step; optimizer moments start fresh.
+        # Structural slim-checkpoint detection (save_params_only saves
+        # drop the Adam moment pairs): only restore params-only when the
+        # stored tree genuinely lacks opt_state — any OTHER load failure
+        # (corruption, optax treedef drift, orbax issues) must raise,
+        # not silently reset the moments.
+        stored = checkpoint_top_keys(ckpt)
+        if stored is not None and "opt_state_e" not in stored:
             slim = {k: full[k] for k in ("params_e", "params_d", "step")}
             tree = load_checkpoint(ckpt, target=slim)
+        else:
+            tree = load_checkpoint(ckpt, target=full)
         self.state = TrainState(
             params_e=tree["params_e"],
             params_d=tree["params_d"],

@@ -98,6 +98,41 @@ def latest_checkpoint(model_dir: str) -> Optional[str]:
     return os.path.join(model_dir, max(ckpts, key=step_of))
 
 
+def checkpoint_top_keys(path: str):
+    """Top-level keys stored in a checkpoint WITHOUT restoring it.
+
+    Used to structurally detect params-only eval checkpoints
+    (``Config.save_params_only``) instead of catching load errors — a
+    full checkpoint that fails to load for an unrelated reason
+    (corruption, optax treedef drift) must surface its real error, not
+    be silently restored with reset Adam moments. Returns None when the
+    format offers no cheap key listing.
+    """
+    if path.endswith(".npz"):
+        with np.load(path, allow_pickle=False) as flat:
+            return sorted({
+                k.split(_SEP)[0].split("/")[0] for k in flat.keys()
+            })
+    if path.endswith(".pkl"):
+        with open(path, "rb") as f:
+            tree = pickle.load(f)
+        return sorted(tree.keys()) if isinstance(tree, dict) else None
+    md_path = os.path.join(path, "_METADATA")
+    if os.path.isdir(path) and os.path.exists(md_path):
+        import json
+
+        with open(md_path) as f:
+            tree_md = json.load(f).get("tree_metadata")
+        if tree_md:
+            try:
+                return sorted({
+                    v["key_metadata"][0]["key"] for v in tree_md.values()
+                })
+            except (KeyError, IndexError, TypeError):
+                return None
+    return None
+
+
 def load_checkpoint(path: str, target=None):
     """Inverse of save_checkpoint (auto-detects format).
 

@@ -123,10 +123,22 @@ def run_gauntlet(args):
         "--T", str(args.T),
     ]
     if getattr(args, "save_params_only", False):
-        # Eval-only checkpoints: the gauntlet never resumes, and on
-        # tunnel-attached chips the full-state readback (~3x the bytes)
-        # dominates each save (docs/train.md).
+        # Eval-only checkpoints: on tunnel-attached chips the full-state
+        # readback (~3x the bytes) dominates each save (docs/train.md).
+        # Caveat: a rerun after an interruption would auto-resume from a
+        # mid-run params-only checkpoint with RESET Adam moments and
+        # perturb the accuracy-gate trajectory — so when the final
+        # checkpoint is absent, any partial model_dir is cleared for a
+        # clean from-scratch run.
         train_flags += ["--save_params_only", "true"]
+        if not os.path.exists(
+            os.path.join(model_dir, f"ckpt-{args.num_steps}")
+        ) and os.path.isdir(model_dir):
+            import shutil
+
+            print(f"[*] clearing partial {model_dir} "
+                  "(params-only resume would reset Adam moments)")
+            shutil.rmtree(model_dir)
     if image_mode:
         # The image leg trains the WHOLE pipeline — a random-init
         # resnet_v2_50 included — so the encoder must learn to invert

@@ -380,6 +380,118 @@ def test_demo_predict_and_render(tmp_path):
     assert os.path.getsize(mp4) > 1000
 
 
+def test_demo_vid_dir_one_command(tmp_path, monkeypatch):
+    """ONE command over a directory of videos: tracks are computed per
+    video (stub AlphaPose/PoseFlow), predictions land in
+    out_dir/<vid_name>/hmmr_output/hmmr_output.pkl and a composite mp4
+    is rendered — demo_video.py:194-234 orchestration parity."""
+    import cv2
+
+    from tests.test_infer import FakeHmmrModel
+    from human_dynamics_tpu.infer import demo
+
+    # Two tiny videos.
+    vid_dir = tmp_path / "videos"
+    vid_dir.mkdir()
+    n_frames = 24
+    for name in ("clip_a", "clip_b"):
+        w = cv2.VideoWriter(
+            str(vid_dir / f"{name}.mp4"),
+            cv2.VideoWriter_fourcc(*"mp4v"), 10, (320, 240),
+        )
+        for i in range(n_frames):
+            frame = RNG.randint(0, 255, (240, 320, 3)).astype(np.uint8)
+            w.write(frame)
+        w.release()
+
+    # Stub trackers: AlphaPose writes a raw json, PoseFlow emits one
+    # tracked person per frame found in --imgdir.
+    alphapose_dir = tmp_path / "AlphaPose"
+    alphapose_dir.mkdir()
+    (alphapose_dir / "demo.py").write_text(
+        "import argparse, json, os\n"
+        "p = argparse.ArgumentParser()\n"
+        "p.add_argument('--indir'); p.add_argument('--outdir')\n"
+        "p.add_argument('--sp', action='store_true')\n"
+        "p.add_argument('--format')\n"
+        "a = p.parse_args()\n"
+        "open(os.path.join(a.outdir, 'alphapose-results.json'), 'w')"
+        ".write(json.dumps({}))\n"
+    )
+    poseflow_dir = tmp_path / "PoseFlow"
+    poseflow_dir.mkdir()
+    (poseflow_dir / "tracker-general.py").write_text(
+        "import argparse, json, os\n"
+        "import numpy as np\n"
+        "p = argparse.ArgumentParser()\n"
+        "p.add_argument('--imgdir'); p.add_argument('--in_json')\n"
+        "p.add_argument('--out_json')\n"
+        "a = p.parse_args()\n"
+        "data = {}\n"
+        "names = sorted(f for f in os.listdir(a.imgdir)"
+        " if f.endswith('.png'))\n"
+        "for i, f in enumerate(names):\n"
+        "    kps = np.zeros((25, 3))\n"
+        "    kps[:, 0] = 160 + i + np.linspace(-20, 20, 25)\n"
+        "    kps[:, 1] = 120 + np.linspace(-60, 60, 25)\n"
+        "    kps[:, 2] = 1.0\n"
+        "    data[f] = [{'keypoints': kps.ravel().tolist(), 'idx': 0}]\n"
+        "open(a.out_json, 'w').write(json.dumps(data))\n"
+    )
+
+    # Swap the heavyweight loaders for the fake phi-pooling model (the
+    # real resnet path is covered by test_models/test_infer).
+    class FakeWithEncoder(FakeHmmrModel):
+        include_resnet = True
+
+        def apply(self, variables, inputs, train=False, method=None):
+            if method is not None:
+                b, t = inputs.shape[:2]
+                flat = inputs.reshape(b * t, -1)
+                phi = jnp.stack(
+                    [flat[:, i::160].mean(axis=1) for i in range(160)],
+                    axis=1,
+                )
+                return phi.reshape(b, t, 160)
+            return super().apply(variables, inputs, train)
+
+    smpl = synthetic_smpl_model(num_verts=64, num_kps=25)
+    import human_dynamics_tpu.core.smpl as smpl_mod
+    import human_dynamics_tpu.models.hmmr as hmmr_mod
+    import human_dynamics_tpu.utils.checkpoint as ckpt_mod
+
+    monkeypatch.setattr(
+        smpl_mod, "load_smpl_model", lambda path, joint_type: smpl
+    )
+    monkeypatch.setattr(hmmr_mod, "HmmrModel",
+                        lambda include_resnet: FakeWithEncoder())
+    monkeypatch.setattr(ckpt_mod, "load_variables", lambda path: None)
+
+    out_dir = str(tmp_path / "out")
+    demo.main([
+        "--vid_dir", str(vid_dir),
+        "--load_path", "unused",
+        "--smpl_model_path", "unused",
+        "--out_dir", out_dir,
+        "--track_dir", str(tmp_path / "tracks"),
+        "--alphapose_dir", str(alphapose_dir),
+        "--poseflow_dir", str(poseflow_dir),
+    ])
+
+    for name in ("clip_a", "clip_b"):
+        base = os.path.join(out_dir, name, "hmmr_output")
+        assert os.path.exists(os.path.join(base, "hmmr_output.pkl")), name
+        mp4 = os.path.join(base, "hmmr_output.mp4")
+        assert os.path.exists(mp4) and os.path.getsize(mp4) > 1000, name
+        with open(os.path.join(base, "hmmr_output.pkl"), "rb") as f:
+            preds = pickle.load(f)
+        assert preds["omegas"].shape[1] == 85
+        # Track intermediates live in per-video subdirs of --track_dir.
+        assert os.path.exists(os.path.join(
+            str(tmp_path / "tracks"), name, "track_output",
+            "alphapose-results-forvis-tracked.json"))
+
+
 # ---------------------------------------------------------------------------
 # Loader: shuffle buffer, worker error propagation, multi-host env
 # ---------------------------------------------------------------------------
