@@ -1,8 +1,10 @@
 from human_dynamics_tpu.parallel.mesh import (
     make_mesh,
     make_mesh_2d,
+    make_mesh_tp,
     shard_batch,
     shard_batch_2d,
+    shard_params_tp,
     replicate,
 )
 from human_dynamics_tpu.parallel.multihost import (

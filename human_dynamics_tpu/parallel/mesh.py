@@ -77,6 +77,61 @@ def make_mesh_2d(
     return Mesh(grid, tuple(axis_names))
 
 
+def make_mesh_tp(
+    data_size: int,
+    model_size: int,
+    devices: Optional[Sequence] = None,
+    axis_names: Sequence[str] = ("data", "model"),
+) -> Mesh:
+    """(data x model) mesh for tensor-parallel parameter sharding.
+
+    ``model`` is innermost so the per-layer TP collectives (activation
+    all-reduces GSPMD inserts around the partitioned matmuls) ride
+    neighboring devices on ICI while the gradient all-reduce spans the
+    outer ``data`` axis.
+    """
+    return make_mesh_2d(
+        data_size, model_size, devices=devices, axis_names=axis_names
+    )
+
+
+def shard_params_tp(
+    tree,
+    mesh: Mesh,
+    model_axis: str = "model",
+    min_dim: int = 128,
+):
+    """Tensor-parallel param-sharding hook (SURVEY.md §2.3 TP row).
+
+    Policy: every weight with >=2 dims whose LAST (output-feature) dim
+    is divisible by the model-axis size and at least ``min_dim`` wide is
+    sharded over ``model`` on that dim — Dense kernels column-parallel,
+    conv kernels over output channels. Everything else (biases, norm
+    scales, small kernels, optimizer scalars) is replicated; GSPMD
+    propagates the shardings through the step function and inserts the
+    activation collectives (the scaling-book recipe — annotate, compile,
+    let XLA place the all-reduces).
+
+    This is a capability HOOK: at HMMR's parameter scale (~127 MB fp32
+    encoder + <20 MB heads) replicated DP is the right deployment, and
+    TP is not a perf claim; the hook exists so the same step function
+    scales to configurations where single-replica params do not fit.
+    Works on any pytree whose array leaves mirror param shapes (e.g.
+    a whole TrainState: Adam moments shard like their params).
+    """
+    m = mesh.shape[model_axis]
+
+    def put(x):
+        nd = getattr(x, "ndim", 0)
+        if nd >= 2 and x.shape[-1] >= min_dim and x.shape[-1] % m == 0:
+            spec = P(*([None] * (nd - 1)), model_axis)
+        else:
+            spec = P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(put, tree)
+
+
 def shard_batch_2d(
     batch,
     mesh: Mesh,

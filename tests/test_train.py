@@ -331,6 +331,49 @@ def test_bf16_training_step_close_to_fp32():
     assert not np.allclose(np.asarray(before), np.asarray(after))
 
 
+def test_train_step_tp_param_sharding_hook():
+    """SAME train step over a (4 data x 2 model) mesh with parameters
+    tensor-parallel via shard_params_tp: wide kernels column-sharded
+    over 'model', batch over 'data'; GSPMD inserts the activation
+    collectives and the losses must match the unsharded step
+    (SURVEY.md §2.3 TP row — a capability hook, not a perf claim at
+    this model scale)."""
+    from human_dynamics_tpu.parallel import make_mesh_tp, shard_params_tp
+
+    config = tiny_config(batch_size=4)
+    smpl = synthetic_smpl_model(num_verts=32, num_kps=config.num_kps)
+    trainer = Trainer(config, smpl)
+    batch = make_batch(config, smpl)
+
+    mesh = make_mesh_tp(4, 2)
+    trainer.state = shard_params_tp(trainer.state, mesh)
+    # The hook must actually shard something: at least one IEF/temporal
+    # kernel carries the model axis.
+    leaves = jax.tree_util.tree_leaves(trainer.state.params_e)
+    specs = [
+        l.sharding.spec for l in leaves if hasattr(l, "sharding")
+    ]
+    assert any("model" in str(s) for s in specs), specs
+    sharded_batch = shard_batch(batch, mesh)
+    metrics = trainer.step(sharded_batch)
+
+    trainer2 = Trainer(config, smpl)
+    metrics2 = trainer2.step(batch)
+    np.testing.assert_allclose(
+        float(metrics["e_loss"]), float(metrics2["e_loss"]), rtol=2e-4
+    )
+    np.testing.assert_allclose(
+        float(metrics["d_loss"]), float(metrics2["d_loss"]), rtol=2e-4
+    )
+    # Updated params keep their TP shardings (donated in-place update),
+    # so a second step runs without resharding.
+    m3 = trainer.step(sharded_batch)
+    m4 = trainer2.step(batch)
+    np.testing.assert_allclose(
+        float(m3["e_loss"]), float(m4["e_loss"]), rtol=5e-4
+    )
+
+
 def test_shard_batch_2d_rejects_indivisible_t():
     config = tiny_config(batch_size=4, T=21)
     smpl = synthetic_smpl_model(num_verts=32, num_kps=config.num_kps)
