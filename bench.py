@@ -81,6 +81,11 @@ def _init_backend(attempts: int = 3, timeout_s: float = 150.0):
 
 
 def main():
+    if os.environ.get("HD_BENCH_FAIL"):
+        # Test hook (tests/test_bench_entry.py): lets the suite drive the
+        # real __main__ JSON-error contract without a 150s backend probe.
+        raise RuntimeError(os.environ["HD_BENCH_FAIL"])
+
     from human_dynamics_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()

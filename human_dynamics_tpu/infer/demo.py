@@ -160,6 +160,27 @@ def render_preds(
     return out_mp4
 
 
+def _predict_and_render(
+    predictor, smpl, args, frames, track_json, out_base, trim_length
+):
+    """Shared tail of every input mode: predict one tracklet, save the
+    pkl, optionally render the composite video."""
+    preds, images, proc_infos, out = predict_on_tracks(
+        predictor, frames, track_json, out_base,
+        track_id=args.track_id, trim_length=trim_length,
+    )
+    print(f"Saved predictions for {len(images)} frames to {out}")
+
+    if not args.no_render:
+        fr = preds.get("frame_range")
+        orig = frames[fr[0]:fr[1]] if fr is not None else None
+        mp4 = render_preds(
+            out, preds, images, proc_infos, smpl.faces,
+            trim_length=trim_length, orig_frames=orig,
+        )
+        print(f"Rendered {mp4}")
+
+
 def run_on_video(predictor, smpl, args, vid_path: str, trim_length: int):
     """One video end-to-end: tracks -> prediction -> render
     (demo_video.py:194-217). When ``--track_json`` is absent the
@@ -176,6 +197,7 @@ def run_on_video(predictor, smpl, args, vid_path: str, trim_length: int):
         track_json = args.track_json
         img_dir = os.path.join(args.out_dir, vid_name + "_frames")
         paths = dump_frames(vid_path, img_dir)
+        out_base = os.path.join(args.out_dir, "hmmr_output")
     else:
         print(f"Computing tracks on {vid_path}.")
         track_dir = os.path.join(args.track_dir or args.out_dir, vid_name)
@@ -189,27 +211,11 @@ def run_on_video(predictor, smpl, args, vid_path: str, trim_length: int):
             for f in os.listdir(img_dir)
             if f.endswith((".png", ".jpg"))
         )
+        out_base = os.path.join(args.out_dir, vid_name, "hmmr_output")
     frames = [cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB) for p in paths]
-
-    out_base = (
-        os.path.join(args.out_dir, vid_name, "hmmr_output")
-        if not args.track_json
-        else os.path.join(args.out_dir, "hmmr_output")
+    _predict_and_render(
+        predictor, smpl, args, frames, track_json, out_base, trim_length
     )
-    preds, images, proc_infos, out = predict_on_tracks(
-        predictor, frames, track_json, out_base,
-        track_id=args.track_id, trim_length=trim_length,
-    )
-    print(f"Saved predictions for {len(images)} frames to {out}")
-
-    if not args.no_render:
-        fr = preds.get("frame_range")
-        orig = frames[fr[0]:fr[1]] if fr is not None else None
-        mp4 = render_preds(
-            out, preds, images, proc_infos, smpl.faces,
-            trim_length=trim_length, orig_frames=orig,
-        )
-        print(f"Rendered {mp4}")
 
 
 def main(argv=None):
@@ -243,8 +249,11 @@ def main(argv=None):
                         help="fused SMPL kernel + bf16 encoder "
                              "(~2e-3 relative deviation)")
     args = parser.parse_args(argv)
-    if not (args.vid_path or args.img_dir or args.vid_dir):
-        parser.error("one of --vid_path / --img_dir / --vid_dir is required")
+    n_inputs = sum(bool(x) for x in (args.vid_path, args.img_dir, args.vid_dir))
+    if n_inputs != 1:
+        parser.error(
+            "exactly one of --vid_path / --img_dir / --vid_dir is required"
+        )
     if args.img_dir and not args.track_json:
         parser.error("--img_dir requires --track_json (no video to track)")
     if args.vid_dir and args.track_json:
@@ -291,20 +300,10 @@ def main(argv=None):
         frames = [
             cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB) for p in paths
         ]
-        preds, images, proc_infos, out = predict_on_tracks(
-            predictor, frames, args.track_json,
-            os.path.join(args.out_dir, "hmmr_output"),
-            track_id=args.track_id, trim_length=trim_length,
+        _predict_and_render(
+            predictor, smpl, args, frames, args.track_json,
+            os.path.join(args.out_dir, "hmmr_output"), trim_length,
         )
-        print(f"Saved predictions for {len(images)} frames to {out}")
-        if not args.no_render:
-            fr = preds.get("frame_range")
-            orig = frames[fr[0]:fr[1]] if fr is not None else None
-            mp4 = render_preds(
-                out, preds, images, proc_infos, smpl.faces,
-                trim_length=trim_length, orig_frames=orig,
-            )
-            print(f"Rendered {mp4}")
 
 
 if __name__ == "__main__":

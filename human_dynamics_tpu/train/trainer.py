@@ -601,16 +601,23 @@ class Trainer:
             return False
         full = self.state._asdict()
         # Structural slim-checkpoint detection (save_params_only saves
-        # drop the Adam moment pairs): only restore params-only when the
-        # stored tree genuinely lacks opt_state — any OTHER load failure
-        # (corruption, optax treedef drift, orbax issues) must raise,
-        # not silently reset the moments.
+        # drop the Adam moment pairs): when the stored keys are readable,
+        # restore params-only ONLY when the tree genuinely lacks
+        # opt_state — any OTHER load failure (corruption, optax treedef
+        # drift, orbax issues) must raise, not silently reset the
+        # moments. Formats with no cheap key listing (pickle fallback,
+        # foreign orbax metadata layouts) keep the permissive
+        # try-full-then-slim behavior.
         stored = checkpoint_top_keys(ckpt)
-        if stored is not None and "opt_state_e" not in stored:
-            slim = {k: full[k] for k in ("params_e", "params_d", "step")}
-            tree = load_checkpoint(ckpt, target=slim)
+        slim = {k: full[k] for k in ("params_e", "params_d", "step")}
+        if stored is not None:
+            target = slim if "opt_state_e" not in stored else full
+            tree = load_checkpoint(ckpt, target=target)
         else:
-            tree = load_checkpoint(ckpt, target=full)
+            try:
+                tree = load_checkpoint(ckpt, target=full)
+            except Exception:
+                tree = load_checkpoint(ckpt, target=slim)
         self.state = TrainState(
             params_e=tree["params_e"],
             params_d=tree["params_d"],

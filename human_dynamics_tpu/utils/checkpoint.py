@@ -114,9 +114,9 @@ def checkpoint_top_keys(path: str):
                 k.split(_SEP)[0].split("/")[0] for k in flat.keys()
             })
     if path.endswith(".pkl"):
-        with open(path, "rb") as f:
-            tree = pickle.load(f)
-        return sorted(tree.keys()) if isinstance(tree, dict) else None
+        # A pickle offers no key listing short of a full deserialize
+        # (which load_checkpoint would then repeat on a ~GB state).
+        return None
     md_path = os.path.join(path, "_METADATA")
     if os.path.isdir(path) and os.path.exists(md_path):
         import json

@@ -106,6 +106,12 @@ def run_gauntlet(args):
     model_dir = os.path.join(args.out, "model")
     from human_dynamics_tpu.train.main import main as train_main
 
+    def final_ckpt_exists():
+        # Covers both checkpoint formats save_checkpoint can produce:
+        # orbax directory ckpt-N and the pickle fallback ckpt-N.pkl.
+        base = os.path.join(model_dir, f"ckpt-{args.num_steps}")
+        return os.path.exists(base) or os.path.exists(base + ".pkl")
+
     train_flags = [
         "--data_dir", train_data_dir,
         "--datasets", "synth", "h36m",
@@ -131,9 +137,7 @@ def run_gauntlet(args):
         # checkpoint is absent, any partial model_dir is cleared for a
         # clean from-scratch run.
         train_flags += ["--save_params_only", "true"]
-        if not os.path.exists(
-            os.path.join(model_dir, f"ckpt-{args.num_steps}")
-        ) and os.path.isdir(model_dir):
+        if not final_ckpt_exists() and os.path.isdir(model_dir):
             import shutil
 
             print(f"[*] clearing partial {model_dir} "
@@ -153,7 +157,7 @@ def run_gauntlet(args):
             "--e_lr", str(args.e_lr),
             "--use_bfloat16", "true" if args.bf16 else "false",
         ]
-    if not os.path.exists(os.path.join(model_dir, f"ckpt-{args.num_steps}")):
+    if not final_ckpt_exists():
         train_main(train_flags)
 
     # ------------------------------------------------------------------

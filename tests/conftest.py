@@ -29,6 +29,7 @@ import pytest  # noqa: E402
 SMOKE_MODULES = {
     "test_eval_metrics.py",
     "test_parallel_multihost.py",
+    "test_bench_entry.py",
 }
 
 # Individually fast tests inside otherwise-heavier modules: core

@@ -99,7 +99,13 @@ def test_initialize_two_process_rendezvous(tmp_path):
     """Two REAL processes rendezvous through the coordinator and agree
     on process_count/global device view (the exact path a pod launcher
     takes, minus the TPU)."""
-    port = "39217"
+    import socket
+
+    # An ephemeral free port (tiny close-to-bind race is acceptable;
+    # a hardcoded port would collide across concurrent test runs).
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = str(s.getsockname()[1])
     env = dict(os.environ)
     env["PYTHONPATH"] = (
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
