@@ -88,6 +88,41 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
         == set(flat_a)
 
 
+def test_checkpoint_top_keys_all_formats(tmp_path):
+    """Structural slim-checkpoint detection (trainer.maybe_restore):
+    npz and orbax report top-level keys WITHOUT a full restore; pickle
+    returns None (no cheap listing — caller falls back to
+    try-full-then-slim)."""
+    import pickle
+
+    from human_dynamics_tpu.utils.checkpoint import checkpoint_top_keys
+
+    tree = {
+        "params_e": {"w": np.ones((2, 2), np.float32)},
+        "params_d": {"w": np.zeros((3,), np.float32)},
+        "step": np.int32(5),
+    }
+    npz = str(tmp_path / "ck.npz")
+    save_checkpoint(npz, tree)
+    assert checkpoint_top_keys(npz) == ["params_d", "params_e", "step"]
+
+    orbax_ckpt = save_checkpoint(str(tmp_path / "run"), tree, step=5)
+    if not orbax_ckpt.endswith(".pkl"):  # orbax available
+        assert checkpoint_top_keys(orbax_ckpt) == [
+            "params_d", "params_e", "step"
+        ]
+
+    pkl = str(tmp_path / "ck.pkl")
+    with open(pkl, "wb") as f:
+        pickle.dump(tree, f)
+    assert checkpoint_top_keys(pkl) is None
+
+    # A directory without orbax metadata yields None, not a crash.
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert checkpoint_top_keys(str(empty)) is None
+
+
 def test_name_map_covers_hmmr_params():
     """Every HmmrModel param (precomputed-phi mode) must appear in the
     slim name map — no orphan weights after conversion."""
